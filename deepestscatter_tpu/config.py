@@ -1,0 +1,175 @@
+"""Typed configuration for the framework.
+
+The reference composes per-task configuration through a vendored DI container
+(Hypodermic) of settings structs (reference: DG/src/Scene/SceneDescription.h,
+DG/src/installers.cpp:28-119).  Here the same information is plain frozen
+dataclasses with a single composition root (`SceneConfig.build()` in
+`deepestscatter_tpu.render.scene`), which is the idiomatic JAX equivalent:
+static config stays in Python, array state lives in pytrees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Optional, Tuple
+
+Vec3 = Tuple[float, float, float]
+
+
+class RenderMode(enum.Enum):
+    """Scatter modes (reference: SceneDescription.h:42-47)."""
+
+    SUN_AND_SKY_ALL_SCATTER = "sun_and_sky_all_scatter"
+    SUN_MULTIPLE_SCATTER = "sun_multiple_scatter"
+    SUN_SINGLE_SCATTER = "sun_single_scatter"
+
+
+class MipmapsMode(enum.Enum):
+    OFF = "off"
+    ON = "on"
+
+
+@dataclasses.dataclass(frozen=True)
+class DirectionalLight:
+    """Reference: SceneDescription.h DirectionalLight; intensity installed as
+    1e6 (installers.cpp:99); sun angular diameter 0.53 deg (cloud.cuh:138)."""
+
+    direction: Vec3 = (-0.586, -0.766, -0.271)
+    color: Vec3 = (1.0, 1.0, 1.0)
+    intensity: float = 1e6
+    angular_diameter_deg: float = 0.53
+
+
+@dataclasses.dataclass(frozen=True)
+class CloudModel:
+    """Reference: SceneDescription.h Cloud::Model (:59-81)."""
+
+    #: Path to the density volume (.npy/.npz dense grid or .vdb).
+    volume_path: Optional[str] = None
+    #: Physical size of the cloud's longest side, meters (1e3..1.2e4 in data gen).
+    size_m: float = 3000.0
+    #: Mean free path at density 1.0, meters (reference default 10 m).
+    mean_free_path_m: float = 10.0
+    mipmaps: MipmapsMode = MipmapsMode.ON
+
+
+@dataclasses.dataclass(frozen=True)
+class CloudRendering:
+    """Reference: SceneDescription.h Cloud::Rendering; sampleStep installed as
+    1/512 (installers.cpp:86); MAX_DEPTH 2000 (cloudRadianceMaterials.cu:4)."""
+
+    sample_step: float = 1.0 / 512.0
+    mode: RenderMode = RenderMode.SUN_AND_SKY_ALL_SCATTER
+    max_depth: int = 2000
+    #: Whether to sample sky/sun at path vertices (disabled in the reference,
+    #: cloudRadianceMaterials.cu:23-25).
+    sample_sky: bool = False
+    sky_sample_probability: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class SkyConfig:
+    """Reference: Scene.cpp:20-24 (sky/ground intensities), miss program
+    gradient (pathTracingCamera.cu:33-50)."""
+
+    sky_intensity: Vec3 = (0.1, 0.2, 2.0)
+    ground_intensity: Vec3 = (0.9, 1.1, 1.1)
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Reference: Camera.cpp:37-42 (eye, hfov), Camera.h:90 (exposure),
+    Tasks.cpp:49-50 (default resolution)."""
+
+    width: int = 512
+    height: int = 256
+    eye: Vec3 = (2.5, -0.4, 0.0)
+    look_at: Vec3 = (0.0, 0.0, 0.0)
+    up: Vec3 = (0.0, 1.0, 0.0)
+    hfov_deg: float = 30.0
+    exposure: float = 0.4
+
+
+@dataclasses.dataclass(frozen=True)
+class ProgressiveConfig:
+    """Progressive-estimation / convergence control
+    (reference: Camera.cpp:189-268)."""
+
+    subframes_per_tick: int = 10
+    snapshot_every: int = 40
+    min_subframes: int = 100
+    #: 95% CI gates: converged if relative < rel_tol or absolute < abs_tol.
+    rel_tol: float = 0.02
+    abs_tol: float = 1e-2
+    #: Frame converged when fewer than this many pixels are unconverged.
+    max_unconverged_pixels: int = 500
+    max_subframes: int = 7000
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneConfig:
+    light: DirectionalLight = dataclasses.field(default_factory=DirectionalLight)
+    cloud: CloudModel = dataclasses.field(default_factory=CloudModel)
+    rendering: CloudRendering = dataclasses.field(default_factory=CloudRendering)
+    sky: SkyConfig = dataclasses.field(default_factory=SkyConfig)
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    progressive: ProgressiveConfig = dataclasses.field(
+        default_factory=ProgressiveConfig
+    )
+
+    @property
+    def density_multiplier(self) -> float:
+        """size / mean-free-path (reference: VDBCloud.cpp:109)."""
+        return self.cloud.size_m / self.cloud.mean_free_path_m
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchSettings:
+    """Dataset-generation slice ownership: scene i owns sample ids
+    [i*2048, (i+1)*2048) (reference: Tasks.cpp:137, GlobalSettings.py:1)."""
+
+    start_id: int = 0
+    size: int = 2048
+
+
+@dataclasses.dataclass(frozen=True)
+class PointRadianceConfig:
+    """Ground-truth label estimation (reference: RadianceCollector.cpp:17,
+    88,112-118)."""
+
+    max_threads: int = 10 * 2048
+    launches_per_update: int = 100
+    rel_tol: float = 2e-2
+    abs_tol: float = 1e-4
+    black_min_experiments: int = 100_000
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Reference: TR/Common/Trainer.py:40-115."""
+
+    seed: int = 566
+    learning_rate: float = 1e-3
+    batch_size: int = 1024
+    val_batch_size: int = 4096
+    epochs: int = 200
+    validate_every: int = 40
+    run_dir: str = "runs"
+
+
+#: Light directions used by renderCloud tasks (reference: Tasks.cpp:52-65).
+LIGHT_DIRECTIONS = {
+    "Front": (-0.586, -0.766, -0.271),
+    "Side": (0.03, -0.766, -0.642),
+    "Back": (0.586, -0.766, 0.271),
+}
+
+
+def fov_tan_halves(hfov_deg: float, width: int, height: int) -> Tuple[float, float]:
+    """Pinhole half-extent tangents for (U, V) from horizontal fov; aspect
+    keeps square pixels (reference: sutil::calculateCameraVariables)."""
+    tan_h = math.tan(math.radians(hfov_deg) / 2.0)
+    tan_v = tan_h * (height / width)
+    return tan_h, tan_v

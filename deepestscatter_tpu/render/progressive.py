@@ -1,0 +1,161 @@
+"""Progressive estimation: Welford accumulation + CI convergence control.
+
+Capability parity with the reference Camera (DG/src/Scene/Cameras/Camera.cpp):
+10 subframes per tick accumulated with Welford running mean/variance
+(progressive.cu:17-27), Reinhard tone map each tick, EXR snapshot every 40
+subframes (:211-214), and the 95%-CI convergence gate: after ≥100 subframes a
+pixel converges when its relative CI < 0.02 or absolute CI < 1e-2 (measured
+on the red channel), and the frame completes when < 500 pixels remain
+unconverged (:232-268).
+
+TPU-native shape: the Welford state lives on device; each tick is ONE jitted
+call that folds `subframes_per_tick` samples via `lax.fori_loop` and returns
+the unconverged-pixel count as a scalar — the host loop only schedules ticks
+and writes snapshots.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ProgressiveConfig, SceneConfig
+from ..ops import tonemap as tonemap_ops
+from ..scene import SceneParams, SceneStatic
+from . import camera as camera_ops
+from . import pathtracer
+
+
+class ProgressiveState(NamedTuple):
+    mean: jnp.ndarray  # [N, 3] running radiance mean
+    m2: jnp.ndarray  # [N, 3] running sum of squared deviations
+    subframe_id: jnp.ndarray  # scalar int32, count of accumulated subframes
+
+
+def init_state(n_rays: int, dtype=jnp.float32) -> ProgressiveState:
+    return ProgressiveState(
+        mean=jnp.zeros((n_rays, 3), dtype),
+        m2=jnp.zeros((n_rays, 3), dtype),
+        subframe_id=jnp.int32(0),
+    )
+
+
+def unconverged_count(
+    state: ProgressiveState, cfg: ProgressiveConfig
+) -> jnp.ndarray:
+    """Number of pixels failing the 95%-CI gate, on the red channel
+    (Camera.cpp:244-255 uses ``.x``)."""
+    n = jnp.maximum(state.subframe_id.astype(jnp.float32), 1.0)
+    sigma = jnp.sqrt(state.m2[:, 0] / n)
+    abs_ci = 1.96 * sigma / jnp.sqrt(n)
+    rel_ci = abs_ci / (state.mean[:, 0] + jnp.finfo(jnp.float32).eps)
+    converged = (rel_ci < cfg.rel_tol) | (abs_ci < cfg.abs_tol)
+    return (~converged).sum()
+
+
+@functools.partial(jax.jit, static_argnames=("static", "n_subframes", "seed_base"))
+def render_tick(
+    params: SceneParams,
+    static: SceneStatic,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    state: ProgressiveState,
+    seed_base: int = 0,
+    n_subframes: int = 10,
+) -> ProgressiveState:
+    """Accumulate ``n_subframes`` new Monte-Carlo samples into the state
+    (the reference renders 10 subframes per display tick, Camera.cpp:189-200)."""
+    ray_ids = jnp.arange(origins.shape[0], dtype=jnp.uint32)
+
+    def body(i, st):
+        subframe = st.subframe_id + 1
+        sample = pathtracer.render_subframe(
+            params, static, origins, directions, seed_base, subframe, ray_ids
+        )
+        # Welford update with weight 1/subframe (progressive.cu:17-27).
+        w = 1.0 / subframe.astype(jnp.float32)
+        delta = sample - st.mean
+        new_mean = st.mean + delta * w
+        new_m2 = st.m2 + delta * (sample - new_mean)
+        return ProgressiveState(new_mean, new_m2, subframe)
+
+    return jax.lax.fori_loop(0, n_subframes, body, state)
+
+
+class ProgressiveRenderer:
+    """Host-side progressive render loop (the GuiExecutionLoop/Camera duo,
+    minus the GUI): runs ticks until the CI gate passes, optionally writing
+    tone-mapped snapshots."""
+
+    def __init__(
+        self,
+        cfg: SceneConfig,
+        params: SceneParams,
+        static: SceneStatic,
+        seed: int = 0,
+        snapshot_fn: Optional[Callable[[int, np.ndarray], None]] = None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.static = static
+        self.seed = seed
+        self.snapshot_fn = snapshot_fn
+        basis = camera_ops.camera_basis(cfg.camera)
+        self.origins, self.directions = camera_ops.generate_rays(
+            basis, cfg.camera.width, cfg.camera.height
+        )
+        self.state = init_state(self.origins.shape[0])
+
+    def tick(self) -> int:
+        """Render one tick; returns the current unconverged-pixel count."""
+        p = self.cfg.progressive
+        self.state = render_tick(
+            self.params,
+            self.static,
+            self.origins,
+            self.directions,
+            self.state,
+            seed_base=self.seed,
+            n_subframes=p.subframes_per_tick,
+        )
+        sf = int(self.state.subframe_id)
+        if self.snapshot_fn is not None and sf % p.snapshot_every == 0:
+            self.snapshot_fn(sf, self.hdr_image())
+        if sf < p.min_subframes:
+            return self.n_rays
+        return int(unconverged_count(self.state, p))
+
+    @property
+    def n_rays(self) -> int:
+        return self.origins.shape[0]
+
+    def run(self, verbose: bool = False) -> np.ndarray:
+        """Render to convergence; returns the HDR image [H, W, 3]."""
+        p = self.cfg.progressive
+        while int(self.state.subframe_id) < p.max_subframes:
+            remaining = self.tick()
+            if verbose:
+                print(
+                    f"subframe {int(self.state.subframe_id)}: "
+                    f"{remaining} unconverged"
+                )
+            if (
+                int(self.state.subframe_id) >= p.min_subframes
+                and remaining < p.max_unconverged_pixels
+            ):
+                break
+        return self.hdr_image()
+
+    def hdr_image(self) -> np.ndarray:
+        h, w = self.cfg.camera.height, self.cfg.camera.width
+        return np.asarray(self.state.mean).reshape(h, w, 3)
+
+    def display_image(self) -> np.ndarray:
+        """Tone-mapped uint8 image (Reinhard + gamma, reinhard.cu)."""
+        hdr = jnp.asarray(self.hdr_image())
+        out = tonemap_ops.reinhard(hdr, self.cfg.camera.exposure)
+        return np.asarray(tonemap_ops.to_uint8(out))

@@ -1,0 +1,124 @@
+"""Scene state: the device pytree + static (compile-time) scene description.
+
+The reference wires per-task scene state through a DI container into OptiX
+context variables (installers.cpp:28-119, Scene.cpp:36-44).  The TPU-native
+equivalent is a split into:
+
+- ``SceneParams``  — a pytree of device arrays (density mip pyramid,
+  in-scatter grid, light/sky vectors, phase tables) that flows through jit;
+- ``SceneStatic``  — hashable compile-time facts (step counts, shapes,
+  scatter mode) that select code paths and loop bounds.
+
+``build_scene`` is the composition root.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RenderMode, SceneConfig
+from .ops import grid as grid_ops
+from .ops.phase import PhaseTable, load_phase_table
+
+
+class SceneParams(NamedTuple):
+    """Device-resident scene state (a pytree)."""
+
+    density_mips: Tuple[jnp.ndarray, ...]  # mip pyramid, [Z, Y, X] each
+    inscatter: jnp.ndarray  # sun-transmittance grid, [Z, Y, X]
+    bbox_size: jnp.ndarray  # [3] (x, y, z), max component == 1
+    light_dir: jnp.ndarray  # [3] normalized, pointing *from* sun
+    light_radiance: jnp.ndarray  # [3] color * intensity
+    sky_intensity: jnp.ndarray  # [3]
+    ground_intensity: jnp.ndarray  # [3]
+    phase: PhaseTable
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneStatic:
+    """Compile-time scene facts (hashable; passed as a static jit arg)."""
+
+    grid_shape: Tuple[int, int, int]  # [Z, Y, X]
+    n_mips: int
+    sample_step: float  # in normalized bbox units (1/512)
+    density_multiplier: float  # cloud_size / mean_free_path
+    max_depth: int
+    mode: RenderMode
+    sun_cos_half_angle: float  # cos(0.53deg / 2)
+    sun_solid_angle_ratio: float  # sun disc area / full sphere
+    voxel_size_in_mfp: float  # voxel edge in mean-free-path units
+    voxel_size_normalized: float  # voxel edge in bbox-normalized units
+    minimal_ray_distance: float = 1e-4
+
+    @property
+    def max_march_steps(self) -> int:
+        """Upper bound on fixed-step march iterations (box diagonal)."""
+        return int(math.ceil(math.sqrt(3.0) / self.sample_step)) + 4
+
+
+def build_scene(
+    cfg: SceneConfig,
+    density: np.ndarray,
+    inscatter: Optional[np.ndarray] = None,
+    dtype=jnp.float32,
+) -> Tuple[SceneParams, SceneStatic]:
+    """Compose the scene from config + a raw [Z, Y, X] density grid.
+
+    Mirrors VDBCloud::init (VDBCloud.cpp:15-115): normalizes density by max,
+    builds the mip pyramid, derives bboxSize / densityMultiplier /
+    voxelSize*, and binds light + sky + phase state.  The in-scatter grid is
+    baked separately (`render.inscatter.bake`) because collectors disable it
+    (ScatterSampleCollector.h:32).
+    """
+    density = grid_ops.normalize_density(density)
+    mips = grid_ops.build_mipmaps(density)
+    nz, ny, nx = density.shape
+    bbox = grid_ops.bbox_size_from_shape(density.shape)
+
+    light_dir = np.asarray(cfg.light.direction, np.float32)
+    light_dir = light_dir / np.linalg.norm(light_dir)
+
+    half_angle = math.radians(cfg.light.angular_diameter_deg) / 2.0
+    sun_area = 2.0 * math.pi * (1.0 - math.cos(half_angle))
+    sun_ratio = sun_area / (4.0 * math.pi)
+
+    max_dim = max(nx, ny, nz)
+    voxel_size_m = cfg.cloud.size_m / max_dim
+    static = SceneStatic(
+        grid_shape=(nz, ny, nx),
+        n_mips=len(mips),
+        sample_step=cfg.rendering.sample_step,
+        density_multiplier=cfg.density_multiplier,
+        max_depth=cfg.rendering.max_depth,
+        mode=cfg.rendering.mode,
+        sun_cos_half_angle=math.cos(half_angle),
+        sun_solid_angle_ratio=sun_ratio,
+        voxel_size_in_mfp=voxel_size_m / cfg.cloud.mean_free_path_m,
+        voxel_size_normalized=1.0 / max_dim,
+    )
+
+    if inscatter is None:
+        inscatter = np.ones(density.shape, np.float32)
+
+    params = SceneParams(
+        density_mips=tuple(jnp.asarray(m, dtype) for m in mips),
+        inscatter=jnp.asarray(inscatter, dtype),
+        bbox_size=jnp.asarray(bbox, dtype),
+        light_dir=jnp.asarray(light_dir, dtype),
+        light_radiance=jnp.asarray(cfg.light.color, dtype) * cfg.light.intensity,
+        sky_intensity=jnp.asarray(cfg.sky.sky_intensity, dtype),
+        ground_intensity=jnp.asarray(cfg.sky.ground_intensity, dtype),
+        phase=load_phase_table(dtype),
+    )
+    return params, static
+
+
+def is_in_box(pos: jnp.ndarray, bbox_size: jnp.ndarray) -> jnp.ndarray:
+    """The reference's tolerant box test (cloud.cuh:40-44): pos [..., 3] in
+    local coords [0, bbox], with a ±0.01 margin."""
+    return jnp.all((pos >= -0.01) & (pos <= bbox_size + 0.01), axis=-1)
