@@ -25,11 +25,26 @@ _ASSET = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
 
 
 class PhaseTable(NamedTuple):
-    """Device-resident phase tables (registered as a pytree via NamedTuple)."""
+    """Device-resident phase tables (registered as a pytree via NamedTuple).
+
+    Alongside the reference's three textures, two *packed-row* tables serve
+    the TPU fast paths (one row gather replaces several scalar gathers —
+    see ops.grid.pack_corners for the measured rationale):
+
+    - ``eval_rows[i] = (mie[i], mie[i+1], chopped[i], chopped[i+1])`` — both
+      phase functions and their lerp neighbors in one fetch;
+    - ``inv_cdf_rows[j] = (cosθ_j, cosθ_{j+1})`` — the chopped-phase CDF
+      inverted offline onto a uniform grid in u, so direction sampling is
+      one fetch + lerp instead of a 16-step bisection
+      (the reference's binary search, cloud.cuh:160-188) or a
+      ``searchsorted`` (14x slower than a row gather at batch 131k).
+    """
 
     mie: jnp.ndarray  # [N] normalized phase, indexed by (cosθ+1)/2
     chopped: jnp.ndarray  # [N] normalized chopped phase
     chopped_cdf: jnp.ndarray  # [N] CDF of the chopped phase
+    eval_rows: jnp.ndarray  # [N, 4] packed (mie, mie+1, chopped, chopped+1)
+    inv_cdf_rows: jnp.ndarray  # [M, 2] packed inverse CDF (value, next)
 
 
 def _normalize_mean(table: np.ndarray) -> np.ndarray:
@@ -44,15 +59,40 @@ def _build_cdf(table: np.ndarray) -> np.ndarray:
     return c
 
 
-def load_phase_table(dtype=jnp.float32) -> PhaseTable:
+def _invert_cdf(cdf: np.ndarray, m_samples: int) -> np.ndarray:
+    """Tabulate ``m(u)`` solving ``tex1D(cdf, m) = u`` on a uniform u grid.
+
+    ``tex1D(cdf, m)`` is piecewise-linear with nodes at ``(i + 0.5) / n``
+    and flat clamps beyond the end nodes — exactly the function the
+    reference bisects; here it is inverted once offline."""
+    n = cdf.shape[0]
+    nodes = (np.arange(n) + 0.5) / n
+    u = (np.arange(m_samples) + 0.5) / m_samples
+    m = np.interp(u, cdf, nodes, left=nodes[0], right=nodes[-1])
+    return m.astype(np.float32)
+
+
+def _pack_rows(*tables: np.ndarray) -> np.ndarray:
+    """Interleave tables with their +1 neighbors → [N, 2 * len(tables)]."""
+    cols = []
+    for t in tables:
+        cols.append(t)
+        cols.append(np.concatenate([t[1:], t[-1:]]))
+    return np.stack(cols, axis=-1)
+
+
+def load_phase_table(dtype=jnp.float32, inv_cdf_size: int = 4096) -> PhaseTable:
     data = np.load(_ASSET)
     mie = _normalize_mean(data["mie_raw"])
     chopped = _normalize_mean(data["chopped_raw"])
     cdf = _build_cdf(data["chopped_raw"])
+    inv = _invert_cdf(cdf, inv_cdf_size)
     return PhaseTable(
         mie=jnp.asarray(mie, dtype=dtype),
         chopped=jnp.asarray(chopped, dtype=dtype),
         chopped_cdf=jnp.asarray(cdf, dtype=dtype),
+        eval_rows=jnp.asarray(_pack_rows(mie, chopped), dtype=dtype),
+        inv_cdf_rows=jnp.asarray(_pack_rows(inv), dtype=dtype),
     )
 
 
@@ -97,4 +137,38 @@ def sample_cos_theta(phase: PhaseTable, u: jnp.ndarray) -> jnp.ndarray:
     # Below the first node / above the last node the CDF is flat: clamp.
     m = jnp.where(u <= cdf[0], 0.5 / n, m)
     m = jnp.where(u >= cdf[-1], (n - 0.5) / n, m)
+    return 2.0 * m - 1.0
+
+
+def eval_phase_pair(phase: PhaseTable, cos_theta: jnp.ndarray):
+    """Evaluate (mie, chopped) at cosθ with ONE packed-row gather.
+
+    Returns the same values as ``eval_phase(phase.mie, ·)`` /
+    ``eval_phase(phase.chopped, ·)`` — both textures share the coordinate,
+    so their lerp neighbors ride one fetch (the TPU hot-loop path)."""
+    n = phase.mie.shape[0]
+    t = ((cos_theta + 1.0) * 0.5) * n - 0.5
+    t0 = jnp.floor(t)
+    frac = jnp.where(t0 < 0.0, 0.0, t - t0)
+    i0 = jnp.clip(t0.astype(jnp.int32), 0, n - 1)
+    rows = jnp.take(phase.eval_rows, i0, axis=0, mode="clip")  # [..., 4]
+    mie = rows[..., 0] * (1.0 - frac) + rows[..., 1] * frac
+    chopped = rows[..., 2] * (1.0 - frac) + rows[..., 3] * frac
+    return mie, chopped
+
+
+def sample_cos_theta_fast(phase: PhaseTable, u: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-CDF scatter-cosine sample via the precomputed inverse table:
+    one row gather + lerp.  Accuracy is one part in ``inv_cdf_size`` of the
+    uniform input — tighter than the reference's 2^-16 bisection over most
+    of the domain, and it replaces a ``searchsorted`` that is ~14x slower
+    than a row gather on TPU."""
+    inv = phase.inv_cdf_rows
+    m_size = inv.shape[0]
+    t = u * m_size - 0.5
+    t0 = jnp.floor(t)
+    frac = jnp.where(t0 < 0.0, 0.0, t - t0)
+    i0 = jnp.clip(t0.astype(jnp.int32), 0, m_size - 1)
+    rows = jnp.take(inv, i0, axis=0, mode="clip")  # [..., 2]
+    m = rows[..., 0] * (1.0 - frac) + rows[..., 1] * frac
     return 2.0 * m - 1.0

@@ -67,5 +67,7 @@ def bake(params: SceneParams, static: SceneStatic, quantize: bool = True) -> jnp
 def with_baked_inscatter(
     params: SceneParams, static: SceneStatic, quantize: bool = True
 ) -> SceneParams:
-    """Return a copy of ``params`` with the in-scatter grid baked."""
-    return params._replace(inscatter=bake(params, static, quantize=quantize))
+    """Return a copy of ``params`` with the in-scatter grid baked (stored in
+    the packed-corner fast-sampling layout, like the density mips)."""
+    baked = bake(params, static, quantize=quantize)
+    return params._replace(inscatter=grid_ops.pack_corners(baked))

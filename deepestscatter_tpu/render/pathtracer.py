@@ -46,8 +46,7 @@ def in_scattering(
 
     ``chopped`` selects the truncated-forward-peak phase (bounces ≥ 2)."""
     cos_light = (-params.light_dir * direction).sum(axis=-1)
-    p_full = phase_ops.eval_phase(params.phase.mie, cos_light)
-    p_chop = phase_ops.eval_phase(params.phase.chopped, cos_light)
+    p_full, p_chop = phase_ops.eval_phase_pair(params.phase, cos_light)
     p = jnp.where(chopped, p_chop, p_full)
     trans_sun = march_ops.sample_inscatter(params, scatter_pos)
     scale = p * trans_sun * static.sun_solid_angle_ratio
@@ -63,7 +62,7 @@ def new_direction(
     """Sample the next propagation direction from the chopped-Mie CDF
     (cloud.cuh:160-188): inverse-CDF cosθ, uniform azimuth cone around the
     previous direction."""
-    cos_theta = phase_ops.sample_cos_theta(params.phase, u_cdf)
+    cos_theta = phase_ops.sample_cos_theta_fast(params.phase, u_cdf)
     local = rng_ops.uniform_on_sphere_circle(u_phi, cos_theta)
     d = rng_ops.from_onb(local, prev_direction)
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
@@ -82,40 +81,90 @@ def _scatter_loop(
 ) -> jnp.ndarray:
     """The NEE bounce loop shared by the all-scatter and multi-scatter modes.
 
-    Mirrors cloudRadianceMaterials.cu:28-63: march to the next scatter event,
-    accumulate NEE, resample direction; rays die on exit/no-scatter or at
-    ``max_depth``.
+    Semantics mirror cloudRadianceMaterials.cu:28-63: march to each scatter
+    event, accumulate NEE, resample the direction; rays die on exit or at
+    ``max_depth`` bounces.
+
+    TPU-native shape — the critical redesign vs the reference's nested
+    per-thread loops: one FLAT ``lax.while_loop`` whose iteration is a single
+    march step; scatter events (transmittance crossing the free-flight
+    threshold) are handled inline under a mask.  A nested
+    bounce-loop-around-march-loop runs ``max_bounces × max_march_steps``
+    lockstep iterations (~1.8M for the reference operating point); the flat
+    loop runs only as many iterations as the longest ray *path* in steps —
+    orders of magnitude fewer, and every iteration does dense batched work.
     """
     n = pos.shape[0]
-    radiance = jnp.zeros((n, 3), pos.dtype)
+    f32 = pos.dtype
+    step = jnp.float32(static.sample_step)
+    dm = jnp.float32(static.density_multiplier)
+    radiance = jnp.zeros((n, 3), f32)
+    tiny = jnp.float32(1e-30)
+
+    # Free-flight threshold for the first segment (counter depth*4 + 0,
+    # matching the per-bounce draw sites of the nested formulation).
+    od0 = rng_ops.hash_uniform(seed, ray_ids, start_depth * _DRAWS_PER_BOUNCE)
 
     def cond(state):
-        depth, _, _, _, alive = state
-        return jnp.logical_and(depth < static.max_depth, jnp.any(alive))
+        i = state[0]
+        alive = state[-1]
+        return jnp.logical_and(i < static.max_total_steps, jnp.any(alive))
 
     def body(state):
-        depth, pos, direction, radiance, alive = state
-        ctr = depth * _DRAWS_PER_BOUNCE
-        od = rng_ops.hash_uniform(seed, ray_ids, ctr)
-        event = march_ops.next_scattering_event(
-            params, static, od, pos, direction, stop_at_scatter=True
+        i, pos, direction, trans, od, depth, radiance, alive = state
+        new_pos = pos + direction * step
+        density = march_ops.sample_density(params, new_pos) * dm
+        trans_new = jnp.where(alive, trans * jnp.exp(-density * step), trans)
+        crossed = alive & (od > trans_new)
+        # Back-correct the scatter position inside the step (cloud.cuh:99).
+        back = jnp.log(od / jnp.maximum(trans_new, tiny)) / jnp.maximum(
+            density, jnp.float32(1e-20)
         )
-        scattered = alive & event.has_scattered & is_in_box(
-            event.scatter_pos, params.bbox_size
-        )
+        scatter_pos = new_pos - direction * back[:, None]
+        in_box_scatter = is_in_box(scatter_pos, params.bbox_size)
+        scattered = crossed & in_box_scatter
+
+        # NEE at the scatter point; full Mie only at depth 1 of the
+        # all-scatter mode (cloudRadianceMaterials.cu:56).
         chopped = (depth != 1) | jnp.bool_(chopped_at_depth1)
-        nee = in_scattering(params, static, event.scatter_pos, direction, chopped)
+        nee = in_scattering(params, static, scatter_pos, direction, chopped)
         radiance = radiance + jnp.where(scattered[:, None], nee, 0.0)
+
+        # Resample the direction and the next free-flight threshold.
+        ctr = depth * _DRAWS_PER_BOUNCE
         u_cdf = rng_ops.hash_uniform(seed, ray_ids, ctr + 1)
         u_phi = rng_ops.hash_uniform(seed, ray_ids, ctr + 2)
         nd = new_direction(params, direction, u_cdf, u_phi)
+        new_depth = jnp.where(crossed, depth + 1, depth)
+        od_next = rng_ops.hash_uniform(
+            seed, ray_ids, new_depth * _DRAWS_PER_BOUNCE
+        )
         direction = jnp.where(scattered[:, None], nd, direction)
-        pos = jnp.where(scattered[:, None], event.scatter_pos, pos)
-        return depth + 1, pos, direction, radiance, scattered
+        pos = jnp.where(crossed[:, None], scatter_pos, new_pos)
+        trans = jnp.where(crossed, 1.0, trans_new)
+        od = jnp.where(crossed, od_next, od)
 
-    state = (start_depth, pos, direction, radiance, alive)
-    _, _, _, radiance, _ = jax.lax.while_loop(cond, body, state)
-    return radiance
+        exited = alive & (~crossed) & (~is_in_box(new_pos, params.bbox_size))
+        alive = (
+            alive
+            & (~exited)
+            & (~(crossed & ~in_box_scatter))
+            & (new_depth < static.max_depth)
+        )
+        return i + 1, pos, direction, trans, od, new_depth, radiance, alive
+
+    state = (
+        jnp.int32(0),
+        pos,
+        direction,
+        jnp.ones((n,), f32),
+        od0,
+        jnp.broadcast_to(start_depth, (n,)).astype(jnp.int32),
+        radiance,
+        alive & is_in_box(pos, params.bbox_size),
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    return out[6]
 
 
 def trace_hit_radiance(

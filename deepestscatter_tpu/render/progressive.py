@@ -25,6 +25,7 @@ import numpy as np
 
 from ..config import ProgressiveConfig, SceneConfig
 from ..ops import tonemap as tonemap_ops
+from ..ops import welford as welford_ops
 from ..scene import SceneParams, SceneStatic
 from . import camera as camera_ops
 from . import pathtracer
@@ -68,22 +69,32 @@ def render_tick(
     n_subframes: int = 10,
 ) -> ProgressiveState:
     """Accumulate ``n_subframes`` new Monte-Carlo samples into the state
-    (the reference renders 10 subframes per display tick, Camera.cpp:189-200)."""
-    ray_ids = jnp.arange(origins.shape[0], dtype=jnp.uint32)
+    (the reference renders 10 subframes per display tick, Camera.cpp:189-200).
 
-    def body(i, st):
-        subframe = st.subframe_id + 1
-        sample = pathtracer.render_subframe(
-            params, static, origins, directions, seed_base, subframe, ray_ids
-        )
-        # Welford update with weight 1/subframe (progressive.cu:17-27).
-        w = 1.0 / subframe.astype(jnp.float32)
-        delta = sample - st.mean
-        new_mean = st.mean + delta * w
-        new_m2 = st.m2 + delta * (sample - new_mean)
-        return ProgressiveState(new_mean, new_m2, subframe)
-
-    return jax.lax.fori_loop(0, n_subframes, body, state)
+    TPU-native shape: the subframes are folded into the ray batch (one
+    megabatch of ``n_subframes × n_rays`` independent samples — maximum
+    parallelism for the flat path-tracing loop) and merged into the running
+    Welford state with the exact pairwise merge, which is algebraically
+    identical to the reference's sequential per-subframe update."""
+    n = origins.shape[0]
+    s = n_subframes
+    ray_ids = jnp.tile(jnp.arange(n, dtype=jnp.uint32), s)
+    sub_ids = state.subframe_id + 1 + jnp.arange(s, dtype=jnp.int32)
+    subframe = jnp.repeat(sub_ids, n)  # [S*N]
+    o = jnp.tile(origins, (s, 1))
+    d = jnp.tile(directions, (s, 1))
+    sample = pathtracer.render_subframe(
+        params, static, o, d, seed_base, subframe, ray_ids
+    ).reshape(s, n, 3)
+    batch_mean = sample.mean(axis=0)
+    batch_m2 = ((sample - batch_mean) ** 2).sum(axis=0)
+    merged = welford_ops.merge(
+        welford_ops.Welford(
+            state.mean, state.m2, state.subframe_id.astype(jnp.float32)
+        ),
+        welford_ops.Welford(batch_mean, batch_m2, jnp.float32(s)),
+    )
+    return ProgressiveState(merged.mean, merged.m2, state.subframe_id + s)
 
 
 class ProgressiveRenderer:

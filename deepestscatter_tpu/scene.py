@@ -60,6 +60,22 @@ class SceneStatic:
         """Upper bound on fixed-step march iterations (box diagonal)."""
         return int(math.ceil(math.sqrt(3.0) / self.sample_step)) + 4
 
+    @property
+    def max_total_steps(self) -> int:
+        """Iteration cap for the flat path-tracing loop: enough for
+        ``max_depth`` bounces of mean free-flight length plus two full box
+        crossings (entry + escape).  In-cloud segments average ~1 mean free
+        path = ``1/density_multiplier`` normalized units ≈ a few sample
+        steps, so this bound is generous; rays that somehow exceed it are
+        truncated exactly like the reference truncates at MAX_DEPTH."""
+        mean_segment_steps = max(
+            1.0 / (self.density_multiplier * self.sample_step), 1.0
+        )
+        return int(
+            math.ceil(self.max_depth * (mean_segment_steps + 3.0))
+            + 2 * self.max_march_steps
+        )
+
 
 def build_scene(
     cfg: SceneConfig,
@@ -105,9 +121,14 @@ def build_scene(
     if inscatter is None:
         inscatter = np.ones(density.shape, np.float32)
 
+    # Grids ship in the packed-corner layout: trilinear sampling costs ONE
+    # row gather instead of 8 scalar gathers (ops.grid.pack_corners — the
+    # TPU-native replacement for the hardware 3D texture unit).
     params = SceneParams(
-        density_mips=tuple(jnp.asarray(m, dtype) for m in mips),
-        inscatter=jnp.asarray(inscatter, dtype),
+        density_mips=tuple(
+            grid_ops.pack_corners(jnp.asarray(m, dtype)) for m in mips
+        ),
+        inscatter=grid_ops.pack_corners(jnp.asarray(inscatter, dtype)),
         bbox_size=jnp.asarray(bbox, dtype),
         light_dir=jnp.asarray(light_dir, dtype),
         light_radiance=jnp.asarray(cfg.light.color, dtype) * cfg.light.intensity,

@@ -1,0 +1,244 @@
+"""Training harness — capability parity with the reference Trainer
+(TR/Common/Trainer.py:21-205), redesigned for jit/pjit:
+
+- **log-space regression**: labels and predictions pass through
+  ``log(max(10x + 1, 0.0099 + x/100))`` before the MSE (Trainer.py:27-31);
+- **Adam + amsgrad, lr 1e-3** (Trainer.py:113-115) via optax;
+- **seed discipline**: one integer seed (566) keys params and data order
+  (Trainer.py:40-47); JAX programs are deterministic by construction, so no
+  cuDNN-flag equivalents are needed;
+- **validate + checkpoint every 40 train batches**, keeping the best
+  validation loss (Trainer.py:145-173); **NaN loss aborts** (Trainer.py:155);
+- **checkpoints** are orbax-style msgpack pytrees written atomically; the
+  "TorchScript export" cross-language artifact becomes a pure-pytree
+  ``<Model>.params.msgpack`` — the renderers load the same pytree, so there
+  is no tracing/export step at all (the renderer and network share one JAX
+  program);
+- **metrics**: JSONL scalars (tensorboard-compatible via the tools script)
+  replacing tensorboardX (Trainer.py:117,153).
+
+Scale-out (the reference is single-GPU, Trainer.py:55): ``make_train_step``
+accepts a ``jax.sharding.Mesh`` and shards the batch over the ``data`` axis
+with pjit — gradients all-reduce over ICI automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import TrainConfig
+from ..models.blocks import LogTransform
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+
+
+def adam_amsgrad(learning_rate: float) -> optax.GradientTransformation:
+    """Adam with the AMSGrad max-v correction (Trainer.py:113 uses
+    ``torch.optim.Adam(amsgrad=True)``)."""
+    return optax.amsgrad(learning_rate)
+
+
+def log_mse_loss(predictions: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """MSE in log space (Trainer.py:114 + LogModel.logEps :27-31): both the
+    model output and the label are log-eps transformed."""
+    pred_log = LogTransform.forward(predictions)
+    label_log = LogTransform.forward(labels)
+    return jnp.mean((pred_log - label_log) ** 2)
+
+
+def make_train_step(
+    apply_fn: Callable[..., jnp.ndarray],
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+) -> Callable[[TrainState, Any, jnp.ndarray], Tuple[TrainState, jnp.ndarray]]:
+    """Build the jitted train step.
+
+    ``apply_fn(params, batch) -> [B, 1]`` predictions; ``batch`` is a pytree
+    whose leaves have a leading batch axis.  With a ``mesh``, inputs are
+    sharded over ``data_axis`` and parameters replicated — XLA inserts the
+    gradient all-reduce (the DP strategy of SURVEY.md §2.11; the nets are
+    ~1M params so DP suffices).
+    """
+
+    def loss_fn(params, batch, labels):
+        preds = apply_fn(params, batch)[:, 0]
+        return log_mse_loss(preds, labels)
+
+    def step(state: TrainState, batch, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, labels)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(data_axis))
+    return jax.jit(
+        step,
+        in_shardings=(replicated, batch_sharded, batch_sharded),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(apply_fn: Callable[..., jnp.ndarray]):
+    @jax.jit
+    def step(params, batch, labels):
+        preds = apply_fn(params, batch)[:, 0]
+        return log_mse_loss(preds, labels)
+
+    return step
+
+
+class MetricsWriter:
+    """Append-only JSONL scalar log (the tensorboardX replacement)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._f = open(path, "a")
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        self._f.write(
+            json.dumps(
+                {"tag": tag, "value": float(value), "step": int(step),
+                 "ts": time.time()}
+            )
+            + "\n"
+        )
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    """Atomic msgpack checkpoint (replaces torch.save / torch.jit.trace —
+    the renderer consumes the same params pytree directly)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    data = serialization.to_bytes(tree)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_pytree(path: str, template: Any) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+@dataclasses.dataclass
+class Trainer:
+    """The epoch/validate/checkpoint loop (Trainer.py:88-205).
+
+    ``train_batches()`` / ``val_batch()`` yield ``(batch_pytree, labels)``
+    of numpy arrays; ``apply_fn(params, batch) -> [B, 1]``.
+    """
+
+    name: str
+    apply_fn: Callable[..., jnp.ndarray]
+    init_params: Any
+    train_batches: Callable[[int], Iterator[Tuple[Any, np.ndarray]]]
+    val_batch: Callable[[], Tuple[Any, np.ndarray]]
+    config: TrainConfig = TrainConfig()
+    mesh: Optional[Mesh] = None
+    export_params: Optional[Callable[[Any, str], None]] = None
+
+    def __post_init__(self):
+        self.tx = adam_amsgrad(self.config.learning_rate)
+        # Copy: the jitted step donates the state's buffers; the caller's
+        # init_params must stay valid.
+        self.state = TrainState(
+            params=jax.tree.map(jnp.copy, self.init_params),
+            opt_state=self.tx.init(self.init_params),
+            step=jnp.int32(0),
+        )
+        self._train_step = make_train_step(self.apply_fn, self.tx, self.mesh)
+        self._eval_step = make_eval_step(self.apply_fn)
+        self.best_val = float("inf")
+        self.run_dir = os.path.join(self.config.run_dir, self.name)
+        self.metrics = MetricsWriter(os.path.join(self.run_dir, "metrics.jsonl"))
+
+    # -- checkpointing (Trainer.py:60-67,164-169) ---------------------------
+
+    def checkpoint_path(self, best: bool = False) -> str:
+        fname = "model_best.msgpack" if best else "checkpoint.msgpack"
+        return os.path.join(self.run_dir, fname)
+
+    def save_checkpoint(self, is_best: bool) -> None:
+        save_pytree(self.checkpoint_path(), self.state.params)
+        if is_best:
+            save_pytree(self.checkpoint_path(best=True), self.state.params)
+            self.export()
+
+    def export(self) -> None:
+        """Export the render-ready artifact (the TorchScript-export analog,
+        Trainer.py:65-67): the raw params pytree under ``<name>.params``."""
+        path = os.path.join(self.run_dir, f"{self.name}.params.msgpack")
+        if self.export_params is not None:
+            self.export_params(self.state.params, self.run_dir)
+        else:
+            save_pytree(path, self.state.params)
+
+    def restore(self) -> bool:
+        path = self.checkpoint_path()
+        if os.path.exists(path):
+            params = load_pytree(path, self.state.params)
+            self.state = TrainState(
+                params, self.tx.init(params), self.state.step
+            )
+            return True
+        return False
+
+    # -- the loop -----------------------------------------------------------
+
+    def validate_and_save(self) -> float:
+        batch, labels = self.val_batch()
+        val_loss = float(
+            self._eval_step(self.state.params, batch, jnp.asarray(labels))
+        )
+        step = int(self.state.step)
+        self.metrics.scalar("val_loss", val_loss, step)
+        if not np.isfinite(val_loss):
+            raise FloatingPointError(
+                f"validation loss is {val_loss} at step {step}"  # Trainer.py:155
+            )
+        is_best = val_loss < self.best_val
+        self.best_val = min(self.best_val, val_loss)
+        self.save_checkpoint(is_best)
+        return val_loss
+
+    def run(self, epochs: Optional[int] = None) -> None:
+        cfg = self.config
+        for epoch in range(epochs if epochs is not None else cfg.epochs):
+            for batch, labels in self.train_batches(epoch):
+                self.state, loss = self._train_step(
+                    self.state, batch, jnp.asarray(labels)
+                )
+                step = int(self.state.step)
+                if step % cfg.validate_every == 0:
+                    train_loss = float(loss)
+                    if not np.isfinite(train_loss):
+                        raise FloatingPointError(
+                            f"train loss is {train_loss} at step {step}"
+                        )
+                    self.metrics.scalar("train_loss", train_loss, step)
+                    self.validate_and_save()

@@ -1,0 +1,159 @@
+"""Tests for the RPNN and baked-probe neural renderers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepestscatter_tpu import scene as scene_mod
+from deepestscatter_tpu.config import SceneConfig, CameraConfig, CloudModel
+from deepestscatter_tpu.models.probes import LightProbeModel, ProbeRendererModel
+from deepestscatter_tpu.models.rpnn import DisneyModel
+from deepestscatter_tpu.render import baked as baked_mod
+from deepestscatter_tpu.render import camera as camera_ops
+from deepestscatter_tpu.render import inscatter
+from deepestscatter_tpu.render import neural
+
+
+@pytest.fixture(scope="module")
+def tiny_scene():
+    from deepestscatter_tpu.data import procedural
+
+    cfg = SceneConfig(
+        cloud=CloudModel(size_m=1000.0),
+        camera=CameraConfig(width=24, height=16),
+    )
+    density = procedural.cumulus(resolution=24, seed=7)
+    params, static = scene_mod.build_scene(cfg, density)
+    params = inscatter.with_baked_inscatter(params, static)
+    return cfg, params, static
+
+
+def _rays(cfg):
+    basis = camera_ops.camera_basis(cfg.camera)
+    return camera_ops.generate_rays(basis, cfg.camera.width, cfg.camera.height)
+
+
+class TestDisneyRenderer:
+    def test_render_finite_and_deterministic(self, tiny_scene):
+        cfg, params, static = tiny_scene
+        model = DisneyModel()
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 10, 226))
+        )
+        origins, directions = _rays(cfg)
+        out1 = neural.render_disney(
+            params, static, model, variables, origins, directions, seed=3
+        )
+        out2 = neural.render_disney(
+            params, static, model, variables, origins, directions, seed=3
+        )
+        assert np.all(np.isfinite(np.asarray(out1)))
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def test_misses_shade_sky(self, tiny_scene):
+        cfg, params, static = tiny_scene
+        model = DisneyModel()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 226)))
+        origins, directions = _rays(cfg)
+        hit, _ = camera_ops.intersect_box(
+            origins, directions, static, params.bbox_size
+        )
+        out = neural.render_disney(
+            params, static, model, variables, origins, directions
+        )
+        miss_expected = camera_ops.miss_radiance(params, static, directions)
+        missed = ~np.asarray(hit)
+        assert missed.any()
+        np.testing.assert_allclose(
+            np.asarray(out)[missed], np.asarray(miss_expected)[missed]
+        )
+
+    def test_composite_identity(self):
+        """(pred + direct) * (1 - T) for scattered; black non-scatter hits;
+        miss radiance for misses (disneyCamera.cu:38-46)."""
+        cs = neural.ConditionalScatter(
+            transmittance=jnp.asarray([0.25, 0.9, 0.5]),
+            scatter_pos=jnp.zeros((3, 3)),
+            has_scattered=jnp.asarray([True, False, True]),
+            direct=jnp.asarray([[1.0, 2.0, 3.0], [0, 0, 0], [1, 1, 1]]),
+        )
+        predicted = jnp.asarray([4.0, 5.0, 6.0])
+        miss = jnp.full((3, 3), 9.0)
+        hit = jnp.asarray([True, True, False])
+        out = np.asarray(neural.composite(predicted, cs, miss, hit))
+        np.testing.assert_allclose(
+            out[0], (np.array([1, 2, 3]) + 4.0) * 0.75, rtol=1e-6
+        )
+        np.testing.assert_allclose(out[1], 0.0)
+        np.testing.assert_allclose(out[2], 9.0)
+
+    def test_conditional_scatter_importance_identity(self, tiny_scene):
+        """The conditional draw od = 1 - u(1 - T) lands in (T, 1], i.e. the
+        scatter event happens before exit for every u in (0, 1)."""
+        cfg, params, static = tiny_scene
+        origins, directions = _rays(cfg)
+        hit, t_hit = camera_ops.intersect_box(
+            origins, directions, static, params.bbox_size
+        )
+        entry = origins + directions * t_hit[:, None] + 0.5 * params.bbox_size
+        ray_ids = jnp.arange(origins.shape[0], dtype=jnp.uint32)
+        cs = neural.conditional_scatter(
+            params, static, entry, directions, hit, jnp.uint32(0), ray_ids
+        )
+        hit_np = np.asarray(hit)
+        t = np.asarray(cs.transmittance)[hit_np]
+        # Where the cloud has any extinction (T < 1), the ray must scatter.
+        scattered = np.asarray(cs.has_scattered)[hit_np]
+        assert np.all(scattered[t < 0.999])
+
+
+class TestBakedRenderer:
+    def test_lattice_shape(self, tiny_scene):
+        cfg, params, static = tiny_scene
+        lattice = baked_mod.probe_lattice_shape(
+            static, params.bbox_size.tolist()
+        )
+        # cloud is 1000 m, mfp 10 m → 100 mfp → ceil(100/6)+1 = 18 per axis.
+        assert lattice == (18, 18, 18)
+
+    def test_constant_probe_interpolation(self, tiny_scene):
+        """Barycentric weights are a partition of unity: constant probes
+        interpolate to the constant."""
+        cfg, params, static = tiny_scene
+        probes = jnp.full((4, 4, 4, 200), 0.5, jnp.float32)
+        pos = jnp.asarray(
+            np.random.default_rng(0).uniform(0.05, 0.5, (64, 3)),
+            jnp.float32,
+        )
+        out = baked_mod.interpolate_probes(probes, static, pos)
+        np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-5)
+
+    def test_uint8_dequantization(self, tiny_scene):
+        cfg, params, static = tiny_scene
+        probes = jnp.full((4, 4, 4, 200), 128, jnp.uint8)
+        pos = jnp.full((5, 3), 0.1, jnp.float32)
+        out = baked_mod.interpolate_probes(probes, static, pos)
+        np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-5)
+
+    def test_end_to_end_render(self, tiny_scene):
+        cfg, params, static = tiny_scene
+        probe_model = LightProbeModel()
+        probe_vars = probe_model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 9, 225))
+        )
+        rend_model = ProbeRendererModel()
+        rend_vars = rend_model.init(
+            jax.random.PRNGKey(2), jnp.zeros((1, 202)), jnp.zeros((1, 3, 226))
+        )
+        renderer = baked_mod.BakedRenderer(
+            params, static, probe_model, probe_vars, rend_model, rend_vars
+        )
+        assert renderer.probes.shape == (18, 18, 18, 200)
+        assert renderer.probes.dtype == jnp.uint8
+        basis = camera_ops.camera_basis(cfg.camera)
+        frame = renderer.render_frame(
+            params, static, cfg.camera.width, cfg.camera.height, basis
+        )
+        assert frame.shape == (16, 24, 3)
+        assert np.all(np.isfinite(np.asarray(frame)))
