@@ -67,6 +67,19 @@ class CloudRendering:
     #: cloudRadianceMaterials.cu:23-25).
     sample_sky: bool = False
     sky_sample_probability: float = 0.1
+    #: Russian roulette: starting at this bounce depth, paths survive each
+    #: bounce with probability ``rr_survival`` and surviving contributions
+    #: are reweighted by 1/q — an UNBIASED variance/work trade the reference
+    #: lacks (it walks every path to MAX_DEPTH).  0 disables (reference
+    #: parity).  Deep-diffusion walks in dense clouds are the dominant cost;
+    #: RR cuts expected path length by ~an order of magnitude.
+    rr_start_depth: int = 0
+    rr_survival: float = 0.98
+    #: Exact empty-space skipping via the dilated occupancy grid.  Off by
+    #: default: in lockstep megabatch loops the densest ray sets the
+    #: iteration count, so the extra lookup loses (measured); useful for
+    #: sparse/scattered sample workloads.
+    occupancy_skipping: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -215,3 +215,70 @@ def bbox_size_from_shape(shape: Tuple[int, int, int]) -> np.ndarray:
     nz, ny, nx = shape
     m = float(max(nx, ny, nz))
     return np.asarray([nx / m, ny / m, nz / m], dtype=np.float32)
+
+
+def build_occupancy(density: np.ndarray, block: int = 8) -> np.ndarray:
+    """Conservative coarse occupancy for empty-space skipping.
+
+    ``occ[c] = 1`` iff any density lives in block ``c`` OR any of its 26
+    neighbors (one-block dilation).  Therefore ``occ[cell(p)] == 0``
+    guarantees density — including its trilinear support — is exactly zero
+    within one block length of ``p``, so a ray may advance a whole block
+    without sampling: an EXACT skip, not an approximation.  The reference
+    marches fixed 1/512 steps through empty space (cloud.cuh:87-106); on
+    TPU each step costs a gather, so skipping empties is a direct
+    gather-count win.
+    """
+    density = np.asarray(density)
+    nz, ny, nx = density.shape
+    pz, py, px = (-nz) % block, (-ny) % block, (-nx) % block
+    padded = np.pad(density, ((0, pz), (0, py), (0, px)))
+    bz, by, bx = padded.shape[0] // block, padded.shape[1] // block, padded.shape[2] // block
+    core = padded.reshape(bz, block, by, block, bx, block).max(axis=(1, 3, 5))
+    occupied = (core > 0.0).astype(np.float32)
+    # Dilate by one block in every direction (3^3 max filter).
+    d = np.pad(occupied, 1, mode="edge")
+    out = np.zeros_like(occupied)
+    for dz in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                out = np.maximum(
+                    out, d[dz : dz + bz, dy : dy + by, dx : dx + bx]
+                )
+    return out
+
+
+def sample_nearest(grid: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor lookup at normalized coords ``u`` [..., 3] (x, y, z)
+    with clamp-to-edge — one scalar gather."""
+    nz, ny, nx = grid.shape
+    dims = jnp.asarray([nx, ny, nz], dtype=u.dtype)
+    t = jnp.clip(
+        jnp.floor(u * dims).astype(jnp.int32),
+        0,
+        jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32),
+    )
+    idx = (t[..., 2] * ny + t[..., 1]) * nx + t[..., 0]
+    return jnp.take(grid.reshape(-1), idx, mode="clip")
+
+
+def sample_occupancy(
+    occ: jnp.ndarray,
+    u: jnp.ndarray,
+    grid_shape: Tuple[int, int, int],
+    block: int,
+) -> jnp.ndarray:
+    """Occupancy lookup for normalized density coords ``u`` [..., 3].
+
+    The occupancy covers the density grid padded up to a block multiple, so
+    the cell index is ``floor(u * density_dims / block)`` (NOT a direct
+    normalized lookup into the occupancy dims)."""
+    nz, ny, nx = grid_shape
+    bz, by, bx = occ.shape
+    dims = jnp.asarray([nx, ny, nz], dtype=u.dtype)
+    cell = jnp.floor(u * dims / block).astype(jnp.int32)
+    cx = jnp.clip(cell[..., 0], 0, bx - 1)
+    cy = jnp.clip(cell[..., 1], 0, by - 1)
+    cz = jnp.clip(cell[..., 2], 0, bz - 1)
+    idx = (cz * by + cy) * bx + cx
+    return jnp.take(occ.reshape(-1), idx, mode="clip")

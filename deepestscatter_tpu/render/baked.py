@@ -219,6 +219,9 @@ class BakedRenderer:
             render_baked, static_argnames=("static", "model")
         )
 
+    #: Pixels per compiled launch (bounds descriptor-gather transients).
+    TILE = 32768
+
     def render_frame(
         self,
         params: SceneParams,
@@ -229,8 +232,14 @@ class BakedRenderer:
         seed: int = 0,
     ) -> jnp.ndarray:
         origins, directions = camera_ops.generate_rays(basis, width, height)
-        out = self._render(
-            params, static, self.renderer_model, self.renderer_variables,
-            self.probes, origins, directions, jnp.uint32(seed),
+
+        def one(o, d, ids, s):
+            return self._render(
+                params, static, self.renderer_model, self.renderer_variables,
+                self.probes, o, d, s, ids,
+            )
+
+        out = neural.render_tiled(
+            one, origins, directions, jnp.uint32(seed), self.TILE
         )
         return out.reshape(height, width, 3)

@@ -153,9 +153,45 @@ def render_disney(
     return composite(predicted, cs, miss, hit)
 
 
+def render_tiled(
+    render_one: Any,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    seed: jnp.ndarray,
+    tile: int,
+) -> jnp.ndarray:
+    """Render a ray batch in fixed-size tiles (one compiled shape).
+
+    The reference tiles for its OptiX-buffer/libtorch round trips
+    (DisneyRenderer.cpp:10, BakedRenderer.cpp:11); here tiling bounds the
+    descriptor gather's transient memory — the [tile*225, 8] packed-row
+    gather output is lane-padded 16x on TPU, so a full 512x256 frame in one
+    launch would need >14 GB of HBM scratch.
+    """
+    n = origins.shape[0]
+    outs = []
+    for start in range(0, n, tile):
+        o = origins[start : start + tile]
+        d = directions[start : start + tile]
+        ids = jnp.arange(start, start + tile, dtype=jnp.uint32)
+        if o.shape[0] < tile:
+            pad = tile - o.shape[0]
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate(
+                [d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], d.dtype), (pad, 3))]
+            )
+            outs.append(render_one(o, d, ids, seed)[: tile - pad])
+        else:
+            outs.append(render_one(o, d, ids, seed))
+    return jnp.concatenate(outs, axis=0)
+
+
 class DisneyRenderer:
     """Frame-level convenience wrapper (the reference's DisneyRenderer
     strategy object): holds the model variables and renders full frames."""
+
+    #: Pixels per compiled launch (~16k x 225 x 8 rows ≈ 1.8 GB transient).
+    TILE = 16384
 
     def __init__(self, model: DisneyModel, variables: Any):
         self.model = model
@@ -174,8 +210,13 @@ class DisneyRenderer:
         seed: int = 0,
     ) -> jnp.ndarray:
         origins, directions = camera_ops.generate_rays(basis, width, height)
-        out = self._render(
-            params, static, self.model, self.variables, origins, directions,
-            jnp.uint32(seed),
+
+        def one(o, d, ids, s):
+            return self._render(
+                params, static, self.model, self.variables, o, d, s, ids
+            )
+
+        out = render_tiled(
+            one, origins, directions, jnp.uint32(seed), self.TILE
         )
         return out.reshape(height, width, 3)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderMode
+from ..ops import grid as grid_ops
 from ..ops import march as march_ops
 from ..ops import phase as phase_ops
 from ..ops import rng as rng_ops
@@ -74,7 +75,7 @@ def _scatter_loop(
     pos: jnp.ndarray,
     direction: jnp.ndarray,
     alive: jnp.ndarray,
-    seed: int,
+    seed: jnp.ndarray,
     ray_ids: jnp.ndarray,
     start_depth: jnp.ndarray,
     chopped_at_depth1: bool,
@@ -83,36 +84,71 @@ def _scatter_loop(
 
     Semantics mirror cloudRadianceMaterials.cu:28-63: march to each scatter
     event, accumulate NEE, resample the direction; rays die on exit or at
-    ``max_depth`` bounces.
+    ``max_depth`` bounces (plus optional unbiased Russian roulette).
 
-    TPU-native shape — the critical redesign vs the reference's nested
-    per-thread loops: one FLAT ``lax.while_loop`` whose iteration is a single
-    march step; scatter events (transmittance crossing the free-flight
-    threshold) are handled inline under a mask.  A nested
-    bounce-loop-around-march-loop runs ``max_bounces × max_march_steps``
-    lockstep iterations (~1.8M for the reference operating point); the flat
-    loop runs only as many iterations as the longest ray *path* in steps —
-    orders of magnitude fewer, and every iteration does dense batched work.
+    TPU-native shape — the two critical redesigns vs the reference's nested
+    per-thread loops:
+
+    1. ONE FLAT ``lax.while_loop`` whose iteration is a single march step;
+       scatter events are handled inline under a mask.  A nested
+       bounce-loop-around-march-loop runs ``max_bounces x max_march_steps``
+       lockstep iterations (~1.8M at the reference operating point); the
+       flat loop runs only as long as the longest ray *path*.
+    2. CASCADE COMPACTION for the tail: lockstep cost per iteration scales
+       with the BUFFER size, not the live-ray count, and deep-diffusion
+       paths keep a shrinking minority alive for thousands of steps.  When
+       the live count drops below 1/8 (then 1/64) of the buffer, survivors
+       are gathered (``jnp.nonzero`` with a static size — the shape-stable
+       analog of stream compaction) into a smaller buffer and the loop
+       continues there; tail radiance is scatter-added back.
     """
     n = pos.shape[0]
     f32 = pos.dtype
     step = jnp.float32(static.sample_step)
     dm = jnp.float32(static.density_multiplier)
-    radiance = jnp.zeros((n, 3), f32)
     tiny = jnp.float32(1e-30)
 
     # Free-flight threshold for the first segment (counter depth*4 + 0,
     # matching the per-bounce draw sites of the nested formulation).
     od0 = rng_ops.hash_uniform(seed, ray_ids, start_depth * _DRAWS_PER_BOUNCE)
 
-    def cond(state):
-        i = state[0]
-        alive = state[-1]
-        return jnp.logical_and(i < static.max_total_steps, jnp.any(alive))
+    # carry = (pos, direction, trans, od, depth, weight, radiance, alive,
+    #          ray_ids, seed) — everything per-ray, so compaction is one
+    #          tree_map gather.
+    carry0 = (
+        pos,
+        direction,
+        jnp.ones((n,), f32),
+        od0,
+        jnp.broadcast_to(start_depth, (n,)).astype(jnp.int32),
+        jnp.ones((n,), f32),
+        jnp.zeros((n, 3), f32),
+        alive & is_in_box(pos, params.bbox_size),
+        jnp.asarray(ray_ids, jnp.uint32),
+        jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), (n,)),
+    )
 
     def body(state):
-        i, pos, direction, trans, od, depth, radiance, alive = state
-        new_pos = pos + direction * step
+        i, (pos, direction, trans, od, depth, weight, radiance, alive,
+            ray_ids, seed) = state
+        if static.occupancy_skip_steps >= 2:
+            # Empty-space skipping: a zero dilated-occupancy block certifies
+            # one block of exactly-zero density ahead — advance K steps in
+            # one iteration (ops.grid.build_occupancy; exact, not approx).
+            occ = grid_ops.sample_occupancy(
+                params.occupancy,
+                pos / params.bbox_size,
+                static.grid_shape,
+                static.occupancy_block,
+            )
+            step_len = jnp.where(
+                alive & (occ < 0.5),
+                step * static.occupancy_skip_steps,
+                step,
+            )
+            new_pos = pos + direction * step_len[:, None]
+        else:
+            new_pos = pos + direction * step
         density = march_ops.sample_density(params, new_pos) * dm
         trans_new = jnp.where(alive, trans * jnp.exp(-density * step), trans)
         crossed = alive & (od > trans_new)
@@ -128,7 +164,9 @@ def _scatter_loop(
         # all-scatter mode (cloudRadianceMaterials.cu:56).
         chopped = (depth != 1) | jnp.bool_(chopped_at_depth1)
         nee = in_scattering(params, static, scatter_pos, direction, chopped)
-        radiance = radiance + jnp.where(scattered[:, None], nee, 0.0)
+        radiance = radiance + jnp.where(
+            scattered[:, None], nee * weight[:, None], 0.0
+        )
 
         # Resample the direction and the next free-flight threshold.
         ctr = depth * _DRAWS_PER_BOUNCE
@@ -151,20 +189,66 @@ def _scatter_loop(
             & (~(crossed & ~in_box_scatter))
             & (new_depth < static.max_depth)
         )
-        return i + 1, pos, direction, trans, od, new_depth, radiance, alive
+        if static.rr_start_depth > 0:
+            # Unbiased Russian roulette: kill deep paths with prob (1 - q),
+            # reweight survivors by 1/q (draw site 3 of the bounce).
+            q = jnp.float32(static.rr_survival)
+            u_rr = rng_ops.hash_uniform(seed, ray_ids, ctr + 3)
+            rr_active = crossed & (new_depth >= static.rr_start_depth)
+            killed = rr_active & (u_rr >= q)
+            weight = jnp.where(rr_active & ~killed, weight / q, weight)
+            alive = alive & ~killed
+        return i + 1, (pos, direction, trans, od, new_depth, weight,
+                       radiance, alive, ray_ids, seed)
 
-    state = (
-        jnp.int32(0),
-        pos,
-        direction,
-        jnp.ones((n,), f32),
-        od0,
-        jnp.broadcast_to(start_depth, (n,)).astype(jnp.int32),
-        radiance,
-        alive & is_in_box(pos, params.bbox_size),
-    )
-    out = jax.lax.while_loop(cond, body, state)
-    return out[6]
+    def run_phase(i, carry, stop_below):
+        """while_loop until < stop_below rays stay alive (0 = until none)."""
+
+        def cond(state):
+            alive = state[1][7]
+            live = jnp.count_nonzero(alive) if stop_below else jnp.any(alive)
+            enough = live >= stop_below if stop_below else live
+            return jnp.logical_and(state[0] < static.max_total_steps, enough)
+
+        return jax.lax.while_loop(cond, body, (i, carry))
+
+    def compact(carry, m):
+        """Gather the ≤ m live rays into an m-sized buffer.  Returns the
+        small carry (radiance zeroed) and the scatter-back indices."""
+        alive = carry[7]
+        idx = jnp.nonzero(alive, size=m, fill_value=0)[0]
+        valid = (
+            jnp.arange(m, dtype=jnp.int32) < jnp.count_nonzero(alive)
+        )
+        small = jax.tree.map(lambda a: a[idx], carry)
+        small = (
+            small[0], small[1], small[2], small[3], small[4], small[5],
+            jnp.zeros((m, 3), f32),  # fresh radiance accumulator
+            small[7] & valid,
+            small[8], small[9],
+        )
+        return small, idx, valid
+
+    # Compaction cascade: full → n/8 → n/64 (skipped for small batches,
+    # where the gather bookkeeping would outweigh the win).
+    levels = []
+    m = n
+    while m >= 8192:
+        m //= 8
+        levels.append(m)
+    levels = levels[:3]
+
+    i = jnp.int32(0)
+    radiance_total = None
+    i, carry = run_phase(i, carry0, levels[0] if levels else 0)
+    radiance_total = carry[6]
+    for li, m in enumerate(levels):
+        carry, idx, valid = compact(carry, m)
+        next_stop = levels[li + 1] if li + 1 < len(levels) else 0
+        i, carry = run_phase(i, carry, next_stop)
+        tail = jnp.where(valid[:, None], carry[6], 0.0)
+        radiance_total = radiance_total.at[idx].add(tail)
+    return radiance_total
 
 
 def trace_hit_radiance(

@@ -29,8 +29,9 @@ from .ops.phase import PhaseTable, load_phase_table
 class SceneParams(NamedTuple):
     """Device-resident scene state (a pytree)."""
 
-    density_mips: Tuple[jnp.ndarray, ...]  # mip pyramid, [Z, Y, X] each
-    inscatter: jnp.ndarray  # sun-transmittance grid, [Z, Y, X]
+    density_mips: Tuple[jnp.ndarray, ...]  # mip pyramid, packed [Z, Y, X, 8]
+    inscatter: jnp.ndarray  # sun-transmittance grid, packed [Z, Y, X, 8]
+    occupancy: jnp.ndarray  # coarse dilated max-density blocks, [Zb, Yb, Xb]
     bbox_size: jnp.ndarray  # [3] (x, y, z), max component == 1
     light_dir: jnp.ndarray  # [3] normalized, pointing *from* sun
     light_radiance: jnp.ndarray  # [3] color * intensity
@@ -54,6 +55,13 @@ class SceneStatic:
     voxel_size_in_mfp: float  # voxel edge in mean-free-path units
     voxel_size_normalized: float  # voxel edge in bbox-normalized units
     minimal_ray_distance: float = 1e-4
+    #: Russian-roulette controls (config.CloudRendering.rr_*; 0 = off).
+    rr_start_depth: int = 0
+    rr_survival: float = 0.98
+    #: Empty-space skipping: march steps advanced at once through a zero
+    #: occupancy block (0/1 = disabled).
+    occupancy_block: int = 8
+    occupancy_skip_steps: int = 0
 
     @property
     def max_march_steps(self) -> int:
@@ -105,6 +113,20 @@ def build_scene(
 
     max_dim = max(nx, ny, nz)
     voxel_size_m = cfg.cloud.size_m / max_dim
+    occ_block = 8
+    # A zero (dilated) occupancy block guarantees one block length of empty
+    # space: skip that many march steps at once (exact — see
+    # ops.grid.build_occupancy).  DISABLED by default: in the lockstep
+    # megabatch loops the iteration count is set by the densest (non-
+    # skipping) ray, so the extra occupancy lookup costs ~30% without
+    # shortening the critical path (measured on v5e).  It pays off only for
+    # sparse sample sets (collectors), which opt in via occupancy_skipping.
+    if cfg.rendering.occupancy_skipping:
+        skip_steps = int(occ_block / max_dim / cfg.rendering.sample_step)
+        if skip_steps < 2:
+            skip_steps = 0
+    else:
+        skip_steps = 0
     static = SceneStatic(
         grid_shape=(nz, ny, nx),
         n_mips=len(mips),
@@ -116,6 +138,10 @@ def build_scene(
         sun_solid_angle_ratio=sun_ratio,
         voxel_size_in_mfp=voxel_size_m / cfg.cloud.mean_free_path_m,
         voxel_size_normalized=1.0 / max_dim,
+        rr_start_depth=cfg.rendering.rr_start_depth,
+        rr_survival=cfg.rendering.rr_survival,
+        occupancy_block=occ_block,
+        occupancy_skip_steps=skip_steps,
     )
 
     if inscatter is None:
@@ -129,6 +155,9 @@ def build_scene(
             grid_ops.pack_corners(jnp.asarray(m, dtype)) for m in mips
         ),
         inscatter=grid_ops.pack_corners(jnp.asarray(inscatter, dtype)),
+        occupancy=jnp.asarray(
+            grid_ops.build_occupancy(density, occ_block), dtype
+        ),
         bbox_size=jnp.asarray(bbox, dtype),
         light_dir=jnp.asarray(light_dir, dtype),
         light_radiance=jnp.asarray(cfg.light.color, dtype) * cfg.light.intensity,

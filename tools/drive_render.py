@@ -2,6 +2,8 @@
 build a scene, bake, render with PT + both neural renderers, write EXRs."""
 import os, sys, time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
