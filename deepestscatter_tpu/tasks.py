@@ -1,0 +1,207 @@
+"""Task orchestration — the Tasks/GuiExecutionLoop layer, TPU-native.
+
+The reference queues lazy tasks, each building a fresh DI container and
+running a scene to convergence (GuiExecutionLoop.cpp:85-128, Tasks.cpp).
+Here a task is a plain function over (SceneConfig → scene pytree → jitted
+programs); "the container" is ``scene.build_scene``.
+
+- ``render_cloud``: the renderCloud entry (Tasks.cpp:104-112): renders a
+  cloud at 512x256 for the Side and Back light directions and writes
+  ``<cloud>.<dir>.<Renderer>.exr`` (PT to convergence, or a neural
+  renderer given trained params).
+- ``collect``: the 4-stage dataset pipeline over a store's SceneSetup
+  table with the reference's slice-ownership and resume arithmetic
+  (scene i owns ids [i*2048, (i+1)*2048); Continue resumes at
+  count // 2048 — Tasks.h:59-68, Tasks.cpp:137).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (
+    LIGHT_DIRECTIONS,
+    BatchSettings,
+    CloudModel,
+    DirectionalLight,
+    PointRadianceConfig,
+    SceneConfig,
+)
+from .data import clouds as clouds_mod
+from .data import collectors, records
+from .data.store import RecordStore
+from .render import camera as camera_ops
+from .render import inscatter
+from .render.progressive import ProgressiveRenderer
+from .scene import build_scene
+from .utils import exr
+
+
+class CollectMode(enum.Enum):
+    OVERWRITE = "overwrite"
+    CONTINUE = "continue"  # resume from count // BATCH_SIZE (Tasks.h:59-68)
+
+
+def scene_from_setup(
+    setup: np.void,
+    base: Optional[SceneConfig] = None,
+    bake: bool = True,
+):
+    """SceneSetup record → (params, static) — the installSceneSetup analog
+    (installers.cpp:76-105: sampleStep 1/512, intensity 1e6, mipmaps on)."""
+    base = base or SceneConfig()
+    cloud_path = bytes(setup["cloud_path"]).rstrip(b"\x00").decode()
+    density = clouds_mod.prepare(clouds_mod.load_density(cloud_path))
+    light = tuple(float(x) for x in setup["light_direction"])
+    cfg = dataclasses.replace(
+        base,
+        cloud=dataclasses.replace(
+            base.cloud, volume_path=cloud_path, size_m=float(setup["cloud_size_m"])
+        ),
+        light=dataclasses.replace(base.light, direction=light),
+    )
+    params, static = build_scene(cfg, density)
+    if bake:
+        params = inscatter.with_baked_inscatter(params, static)
+    return cfg, params, static
+
+
+def collect(
+    store: RecordStore,
+    record_type: str,
+    mode: CollectMode = CollectMode.CONTINUE,
+    base: Optional[SceneConfig] = None,
+    radiance_cfg: PointRadianceConfig = PointRadianceConfig(),
+    batch_size: int = records.BATCH_SIZE,
+    max_scenes: Optional[int] = None,
+    verbose: bool = True,
+) -> int:
+    """Run one collection stage over every SceneSetup in ``store``.
+
+    Returns the number of scenes processed.  Stage order follows the
+    reference pipeline: ScatterSample → Result → DisneyDescriptor →
+    BakedInterpolationSet; each stage requires its predecessors' records.
+    """
+    n_scenes = store.count("SceneSetup")
+    if max_scenes is not None:
+        n_scenes = min(n_scenes, max_scenes)
+    start_scene = 0
+    if mode is CollectMode.CONTINUE:
+        start_scene = store.count(record_type) // batch_size
+    setups = store.table("SceneSetup")
+    processed = 0
+    for scene_id in range(start_scene, n_scenes):
+        setup = setups.get_record(scene_id)
+        batch = BatchSettings(start_id=scene_id * batch_size, size=batch_size)
+        cfg, params, static = scene_from_setup(
+            setup, base, bake=(record_type != "ScatterSample")
+        )
+        seed = scene_id  # deterministic, restart-stable per scene
+
+        if record_type == "ScatterSample":
+            pos, direction = collectors.generate_scatter_samples(
+                params, static, batch.size, seed
+            )
+            out = np.zeros(batch.size, records.SCATTER_SAMPLE)
+            out["scene_setup_id"] = scene_id
+            out["point"] = np.asarray(pos)
+            out["view_direction"] = np.asarray(direction)
+            store.table("ScatterSample").batch_append(batch.start_id, out)
+        else:
+            samples = store.table("ScatterSample").read(
+                batch.start_id, batch.size
+            )
+            pos = jnp.asarray(samples["point"])
+            direction = jnp.asarray(samples["view_direction"])
+            if record_type == "Result":
+                est = collectors.estimate_point_radiance(
+                    params, static, pos, direction, radiance_cfg, seed=seed,
+                    verbose=verbose,
+                )
+                out = np.zeros(batch.size, records.RESULT)
+                out["light_intensity"] = np.asarray(est.radiance)
+                out["is_converged"] = np.asarray(est.is_converged).astype(np.uint8)
+                store.table("Result").batch_append(batch.start_id, out)
+            elif record_type == "DisneyDescriptor":
+                grids = collectors.collect_disney_descriptors(
+                    params, static, pos, direction
+                )
+                out = np.zeros(batch.size, records.DISNEY_DESCRIPTOR)
+                out["grid"] = grids
+                store.table("DisneyDescriptor").batch_append(batch.start_id, out)
+            elif record_type == "BakedInterpolationSet":
+                out = collectors.collect_baked_sets(params, static, pos)
+                store.table("BakedInterpolationSet").batch_append(
+                    batch.start_id, out
+                )
+            else:
+                raise ValueError(f"unknown record type {record_type}")
+        processed += 1
+        if verbose:
+            print(f"[collect {record_type}] scene {scene_id + 1}/{n_scenes}")
+    return processed
+
+
+def render_cloud(
+    cloud_path: str,
+    out_dir: str = ".",
+    renderer: str = "pt",
+    size_m: float = 3000.0,
+    neural_renderer=None,
+    directions=("Side", "Back"),
+    base: Optional[SceneConfig] = None,
+    verbose: bool = True,
+) -> list:
+    """The renderCloud task (Tasks.cpp:104-112): one render per light
+    direction at 512x256, EXR named ``<cloud>.<dir>.<NAME>.exr``.
+
+    ``renderer``: "pt" (progressive ground truth to convergence) or a
+    prebuilt neural renderer object with ``render_frame`` (NN/BNN).
+    """
+    base = base or SceneConfig()
+    density = clouds_mod.prepare(clouds_mod.load_density(cloud_path))
+    os.makedirs(out_dir, exist_ok=True)
+    cloud_name = os.path.splitext(os.path.basename(cloud_path))[0].replace(
+        ":", "_"
+    )
+    stem = os.path.join(out_dir, cloud_name)
+    outputs = []
+    for dir_name in directions:
+        light = LIGHT_DIRECTIONS[dir_name]
+        cfg = dataclasses.replace(
+            base,
+            cloud=dataclasses.replace(
+                base.cloud, volume_path=cloud_path, size_m=size_m
+            ),
+            light=dataclasses.replace(base.light, direction=light),
+        )
+        params, static = build_scene(cfg, density)
+        params = inscatter.with_baked_inscatter(params, static)
+        if renderer == "pt":
+            prog = ProgressiveRenderer(cfg, params, static, seed=0)
+            hdr = prog.run(verbose=verbose)
+            name = "PT"
+        else:
+            basis = camera_ops.camera_basis(cfg.camera)
+            hdr = np.asarray(
+                neural_renderer.render_frame(
+                    params,
+                    static,
+                    cfg.camera.width,
+                    cfg.camera.height,
+                    basis,
+                )
+            )
+            name = renderer.upper()
+        path = f"{stem}.{dir_name}.{name}.exr"
+        exr.write_exr(path, hdr)
+        outputs.append(path)
+        if verbose:
+            print(f"[render_cloud] wrote {path}")
+    return outputs

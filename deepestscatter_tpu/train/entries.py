@@ -1,0 +1,136 @@
+"""Training entry points — TrainDisneyModel.py / TrainBakedModel.py parity.
+
+Each builds its dataset pair (train/validation stores), constructs the
+model, and runs the shared Trainer with the reference recipe (seed 566,
+Adam-amsgrad 1e-3, batch 1024 / val 4096, validate every 40 batches —
+TR/Common/Trainer.py:40-115).
+
+The Baked entry exports the two submodels separately — the probe net and
+the realtime renderer net are consumed by different render stages
+(TrainBakedModel.py:42-43): the bake runs LightProbeModel over the lattice,
+the realtime path runs ProbeRendererModel per pixel.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig
+from ..data.datasets import BakedDataset, DisneyDataset
+from ..data.store import DatasetTriplet
+from ..models.probes import BakedModel
+from ..models.rpnn import DisneyModel
+from . import trainer as trainer_mod
+
+
+def _val_batch_fn(dataset, batch_size: int, seed: int = 999):
+    def val_batch():
+        for item, labels in dataset.batches(batch_size, seed=seed):
+            return (
+                {k: jnp.asarray(v) for k, v in item.items()},
+                labels,
+            )
+        raise RuntimeError("validation store has no complete batch")
+
+    return val_batch
+
+
+def _train_batches_fn(dataset, batch_size: int, base_seed: int):
+    def train_batches(epoch: int):
+        for item, labels in dataset.batches(batch_size, seed=base_seed + epoch):
+            yield {k: jnp.asarray(v) for k, v in item.items()}, labels
+
+    return train_batches
+
+
+def train_disney(
+    dataset_root: str,
+    config: TrainConfig = TrainConfig(),
+    mesh=None,
+    epochs: Optional[int] = None,
+) -> trainer_mod.Trainer:
+    """DisneyTrainer().run() (TrainDisneyModel.py:35-39)."""
+    triplet = DatasetTriplet(dataset_root)
+    train_ds = DisneyDataset(triplet.train)
+    val_ds = DisneyDataset(triplet.validation)
+    model = DisneyModel()
+    variables = model.init(
+        jax.random.PRNGKey(config.seed), jnp.zeros((1, 10, 226))
+    )
+    t = trainer_mod.Trainer(
+        name="DisneyModel",
+        apply_fn=lambda p, b: model.apply(p, b["z_layers"]),
+        init_params=variables,
+        train_batches=_train_batches_fn(train_ds, config.batch_size, config.seed),
+        val_batch=_val_batch_fn(val_ds, config.val_batch_size),
+        config=config,
+        mesh=mesh,
+    )
+    t.run(epochs=epochs)
+    return t
+
+
+def train_baked(
+    dataset_root: str,
+    config: TrainConfig = TrainConfig(),
+    mesh=None,
+    epochs: Optional[int] = None,
+) -> trainer_mod.Trainer:
+    """BakedTrainer().run() (TrainBakedModel.py:47-51) — end-to-end training
+    of the two-stage model; exports the submodels separately."""
+    triplet = DatasetTriplet(dataset_root)
+    train_ds = BakedDataset(triplet.train)
+    val_ds = BakedDataset(triplet.validation)
+    model = BakedModel()
+    variables = model.init(
+        jax.random.PRNGKey(config.seed),
+        jnp.zeros((1, 4, 9, 225)),
+        jnp.zeros((1, 4)),
+        jnp.zeros((1, 3, 226)),
+        jnp.zeros((1,)),
+        jnp.zeros((1,)),
+    )
+
+    def apply_fn(params, b):
+        return model.apply(
+            params,
+            b["probe_descriptors"],
+            b["probe_powers"],
+            b["disney_descriptor"],
+            b["omega"],
+            b["alpha"],
+        )
+
+    def export_params(params, run_dir):
+        """Split export (TrainBakedModel.py:42-43): the probe net for the
+        baker, the renderer net for the realtime path."""
+        inner = params["params"]
+        trainer_mod.save_pytree(
+            os.path.join(run_dir, "LightProbeModel.params.msgpack"),
+            {"params": inner["light_probe_model"]},
+        )
+        trainer_mod.save_pytree(
+            os.path.join(run_dir, "ProbeRendererModel.params.msgpack"),
+            {"params": inner["renderer_model"]},
+        )
+        trainer_mod.save_pytree(
+            os.path.join(run_dir, "BakedModel.params.msgpack"), params
+        )
+
+    t = trainer_mod.Trainer(
+        name="BakedModel",
+        apply_fn=apply_fn,
+        init_params=variables,
+        train_batches=_train_batches_fn(train_ds, config.batch_size, config.seed),
+        val_batch=_val_batch_fn(val_ds, config.val_batch_size),
+        config=config,
+        mesh=mesh,
+        export_params=export_params,
+    )
+    t.run(epochs=epochs)
+    return t
