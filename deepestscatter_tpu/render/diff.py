@@ -1,0 +1,204 @@
+"""Differentiable volumetric rendering — the north-star capability beyond
+the reference (BASELINE.md: "pixel gradients w.r.t. density voxels, sun
+direction, and camera"; the reference's OptiX renderer has no gradients).
+
+Design: a deterministic quadrature formulation of the scattering integral
+(the noise-free analog of the free-flight Monte-Carlo estimator):
+
+    L(ray) = Σ_i  T_i · σ(x_i) · Δt · NEE(x_i, ω)      (single scatter)
+    T_i    = exp(-Σ_{j≤i} σ(x_j) Δt)
+
+with the in-scatter (sun transmittance) field itself computed by a
+differentiable scan, so ∂L/∂density flows BOTH through the view-ray
+transmittance and through the sun-shadowing of every sample point, and
+∂L/∂sun_direction flows through the in-scatter march directions and the
+phase angle.  Everything is ``lax.scan`` over fixed step counts with
+``jax.checkpoint`` (rematerialization) so the backward pass of long
+marches stays within memory (SURVEY.md §7 hard part (e)).
+
+This module intentionally takes RAW inputs (dense [Z, Y, X] density, sun
+vector, camera eye/look-at) rather than the packed SceneParams: gradients
+address the physical parameters directly, and the classic trilinear
+gather is linear in the grid values so its VJP is an exact scatter-add.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SceneConfig, fov_tan_halves
+from ..ops import grid as grid_ops
+from ..ops import phase as phase_ops
+
+
+class DiffScene(NamedTuple):
+    """Differentiable scene inputs (a pytree of leaves gradients address)."""
+
+    density: jnp.ndarray  # [Z, Y, X] raw density in [0, 1]
+    sun_dir: jnp.ndarray  # [3] direction FROM the sun (not normalized)
+    eye: jnp.ndarray  # [3] camera position
+    look_at: jnp.ndarray  # [3]
+    light_radiance: jnp.ndarray  # [3]
+
+
+def _bbox(density: jnp.ndarray) -> jnp.ndarray:
+    nz, ny, nx = density.shape
+    m = float(max(nx, ny, nz))
+    return jnp.asarray([nx / m, ny / m, nz / m], jnp.float32)
+
+
+def sample_density(density: jnp.ndarray, bbox: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear density at local coords [0, bbox] (zero outside the box —
+    the raw grid is expected zero-padded like data.clouds.prepare)."""
+    u = pos / bbox
+    inside = jnp.all((u >= 0.0) & (u <= 1.0), axis=-1)
+    return jnp.where(inside, grid_ops.sample_trilinear(density, u), 0.0)
+
+
+@partial(jax.checkpoint, static_argnums=(3, 4))
+def sun_transmittance(
+    density: jnp.ndarray,
+    sun_dir: jnp.ndarray,
+    pos: jnp.ndarray,
+    density_multiplier: float,
+    n_steps: int,
+    sample_step: float = 1.0 / 256.0,
+) -> jnp.ndarray:
+    """Differentiable in-scatter: Beer-Lambert transmittance from ``pos``
+    [N, 3] toward the sun (the inScatter.cu bake, computed on the fly so
+    gradients flow through the sun direction and every shadowing voxel)."""
+    bbox = _bbox(density)
+    to_sun = -sun_dir / jnp.linalg.norm(sun_dir)
+    step = jnp.float32(sample_step)
+
+    def body(tau, i):
+        p = pos + to_sun * (step * (i + 1.0))
+        sigma = sample_density(density, bbox, p) * density_multiplier
+        return tau + sigma * step, None
+
+    tau, _ = jax.lax.scan(
+        body, jnp.zeros(pos.shape[:-1]), jnp.arange(n_steps, dtype=jnp.float32)
+    )
+    return jnp.exp(-tau)
+
+
+def camera_rays(
+    eye: jnp.ndarray,
+    look_at: jnp.ndarray,
+    width: int,
+    height: int,
+    hfov_deg: float = 30.0,
+    up=(0.0, 1.0, 0.0),
+):
+    """Differentiable pinhole ray bundle (camera_ops.generate_rays with
+    traced eye/look_at)."""
+    up = jnp.asarray(up, jnp.float32)
+    w = look_at - eye
+    wlen = jnp.linalg.norm(w)
+    u = jnp.cross(w, up)
+    u = u / jnp.linalg.norm(u)
+    v = jnp.cross(u, w)
+    v = v / jnp.linalg.norm(v)
+    tan_h, tan_v = fov_tan_halves(hfov_deg, width, height)
+    u = u * wlen * tan_h
+    v = v * wlen * tan_v
+    xs = (jnp.arange(width, dtype=jnp.float32) / width) * 2.0 - 1.0
+    ys = (jnp.arange(height, dtype=jnp.float32) / height) * 2.0 - 1.0
+    dx, dy = jnp.meshgrid(xs, ys)
+    d = dx[..., None] * u + dy[..., None] * v + w
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(eye, d.shape)
+    return o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "density_multiplier", "n_steps", "sun_steps",
+        "sample_step", "remat_chunk",
+    ),
+)
+def render_single_scatter(
+    scene: DiffScene,
+    width: int = 64,
+    height: int = 32,
+    density_multiplier: float = 100.0,
+    n_steps: int = 256,
+    sun_steps: int = 128,
+    sample_step: float = 1.0 / 256.0,
+    sun_cos_half_angle: float = math.cos(math.radians(0.53) / 2.0),
+    remat_chunk: int = 32,
+) -> jnp.ndarray:
+    """Differentiable single-scatter render → [height, width, 3].
+
+    The march is a ``lax.scan`` over ``n_steps`` chunked under
+    ``jax.checkpoint``: backward memory is O(n_steps / remat_chunk)
+    checkpoints instead of O(n_steps) full states.
+    """
+    density, sun_dir = scene.density, scene.sun_dir
+    bbox = _bbox(density)
+    sun_n = sun_dir / jnp.linalg.norm(sun_dir)
+    phase = phase_ops.load_phase_table()
+    origins, dirs = camera_rays(scene.eye, scene.look_at, width, height)
+
+    # Entry points (non-differentiable geometry term: the box is fixed).
+    half = bbox * 0.5
+    inv = 1.0 / dirs
+    t0 = (-half - origins) * inv
+    t1 = (half - origins) * inv
+    t_near = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 1e-4)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = t_near < t_far
+    entry = origins + dirs * t_near[:, None] + half
+
+    cos_light = (-sun_n * dirs).sum(axis=-1)
+    p_phase = phase_ops.eval_phase(phase.mie, cos_light)
+    sun_area = 2.0 * math.pi * (1.0 - sun_cos_half_angle)
+    sun_ratio = sun_area / (4.0 * math.pi)
+    step = jnp.float32(sample_step)
+    dm = jnp.float32(density_multiplier)
+
+    def chunk_body(carry, i0):
+        def step_body(carry, i):
+            tau, radiance = carry
+            p = entry + dirs * (step * (i + 1.0))
+            sigma = sample_density(density, bbox, p) * dm
+            t_view = jnp.exp(-tau)
+            t_sun = sun_transmittance(
+                density, sun_dir, p, density_multiplier, sun_steps, sample_step
+            )
+            contrib = t_view * sigma * step * t_sun * p_phase * sun_ratio
+            return (tau + sigma * step, radiance + contrib), None
+
+        carry, _ = jax.lax.scan(
+            jax.checkpoint(step_body),
+            carry,
+            i0 + jnp.arange(remat_chunk, dtype=jnp.float32),
+        )
+        return carry, None
+
+    tau0 = jnp.zeros(entry.shape[0])
+    rad0 = jnp.zeros(entry.shape[0])
+    starts = jnp.arange(0, n_steps, remat_chunk, dtype=jnp.float32)
+    (tau, radiance), _ = jax.lax.scan(chunk_body, (tau0, rad0), starts)
+
+    rgb = scene.light_radiance[None, :] * radiance[:, None]
+    rgb = jnp.where(hit[:, None], rgb, 0.0)
+    return rgb.reshape(height, width, 3)
+
+
+def render_and_grads(scene: DiffScene, **kw):
+    """Convenience: (image, gradients of mean radiance w.r.t. every scene
+    leaf) — the allclose-gradient check target of BASELINE.json."""
+
+    def loss(s):
+        img = render_single_scatter(s, **kw)
+        return img.mean(), img
+
+    (value, img), grads = jax.value_and_grad(loss, has_aux=True)(scene)
+    return img, grads
