@@ -134,3 +134,49 @@ def train_baked(
     )
     t.run(epochs=epochs)
     return t
+
+
+def train_mimic(
+    dataset_root: str,
+    config: TrainConfig = TrainConfig(),
+    mesh=None,
+    epochs: Optional[int] = None,
+) -> trainer_mod.Trainer:
+    """Mimic-variant training: single probe descriptor, no tetrahedral
+    interpolation (TR/Mimic/MimicModel.py:7-43; the reference's trainer
+    file is empty — this completes the scaffold)."""
+    from ..models.probes import MimicModel
+
+    triplet = DatasetTriplet(dataset_root)
+    train_ds = BakedDataset(triplet.train)
+    val_ds = BakedDataset(triplet.validation)
+    model = MimicModel()
+    variables = model.init(
+        jax.random.PRNGKey(config.seed),
+        jnp.zeros((1, 9, 225)),
+        jnp.zeros((1, 3, 226)),
+        jnp.zeros((1,)),
+        jnp.zeros((1,)),
+    )
+
+    def apply_fn(params, b):
+        # Probe "a" only — the nearest tetra corner (no interpolation).
+        return model.apply(
+            params,
+            b["probe_descriptors"][:, 0],
+            b["disney_descriptor"],
+            b["omega"],
+            b["alpha"],
+        )
+
+    t = trainer_mod.Trainer(
+        name="MimicModel",
+        apply_fn=apply_fn,
+        init_params=variables,
+        train_batches=_train_batches_fn(train_ds, config.batch_size, config.seed),
+        val_batch=_val_batch_fn(val_ds, config.val_batch_size),
+        config=config,
+        mesh=mesh,
+    )
+    t.run(epochs=epochs)
+    return t
