@@ -27,6 +27,7 @@ def main() -> None:
     from deepestscatter_tpu.config import (
         CameraConfig,
         CloudModel,
+        CloudRendering,
         ProgressiveConfig,
         SceneConfig,
     )
@@ -40,6 +41,10 @@ def main() -> None:
         cloud=CloudModel(size_m=2000.0),
         camera=CameraConfig(width=width, height=height),
         progressive=ProgressiveConfig(subframes_per_tick=subframes),
+        # uint8 march rows ARE the reference's storage semantics (density
+        # and in-scatter grids are uint8 textures: Resources.cpp:93-96,
+        # inScatter.cu:65) and gather ~2x faster than float32 rows.
+        rendering=CloudRendering(march_dtype="uint8"),
     )
     density = procedural.cumulus(resolution=64, seed=11)
     params, static = scene_mod.build_scene(cfg, density)

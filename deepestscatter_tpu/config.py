@@ -80,6 +80,19 @@ class CloudRendering:
     #: iteration count, so the extra lookup loses (measured); useful for
     #: sparse/scattered sample workloads.
     occupancy_skipping: bool = False
+    #: March micro-window: the path-tracing loop runs this many cheap
+    #: march/scatter micro-steps (ONE co-fetched density+inscatter row
+    #: gather each) per deferred-NEE resolve step.  Gathers dominate the
+    #: loop on TPU (~12 ns/row on v5e regardless of width), so amortizing
+    #: the second grid lookup over the window is a ~2x win.  0 selects the
+    #: legacy one-phase loop (two grid gathers per step), kept as the
+    #: equality oracle for tests.
+    march_window: int = 8
+    #: Storage dtype for the fused march rows: "float32" or "uint8".
+    #: uint8 is the REFERENCE'S semantics (both the density volume and the
+    #: baked in-scatter grid are uint8 textures, Resources.cpp:93-96,
+    #: inScatter.cu:65) and is ~18% faster to gather.
+    march_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -88,33 +88,71 @@ def pack_corners(grid: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(corners, axis=-1)
 
 
-def _packed_trilinear(packed: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """Trilinear sample from a ``pack_corners`` grid: one row gather + an
-    8-weight dot.  Semantics identical to the classic 8-gather path."""
-    nz, ny, nx, _ = packed.shape
+def pack_corner_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pack TWO co-located grids' cell corners into one ``[Z, Y, X, 16]``
+    row (``[..., :8]`` = a's corners, ``[..., 8:]`` = b's).
+
+    The march hot loop needs density AND sun-transmittance at (nearly) the
+    same coordinate every step; on TPU the gather cost is per ROW, not per
+    byte (measured: f32x8 3.2 ms, f32x16 3.2 ms per 262k rows on v5e), so
+    co-packing halves the dominant cost of the loop."""
+    return jnp.concatenate([pack_corners(a), pack_corners(b)], axis=-1)
+
+
+def packed_cell(
+    u: jnp.ndarray, grid_shape: Tuple[int, int, int]
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Cell coordinates for a ``pack_corners`` lookup at ``u`` ([..., 3],
+    (x, y, z) order): returns ``(cell [..., 3] int32, frac [..., 3],
+    row_idx [...])``.  Exactly the index math of the packed trilinear path,
+    exposed so the march loop can reuse the cell for co-fetched rows,
+    cell-equality tests, and empty-cell exit distances."""
+    nz, ny, nx = grid_shape
     dims = jnp.asarray([nx, ny, nz], dtype=u.dtype)
     t = u * dims - 0.5
     t0 = jnp.floor(t)
-    frac = t - t0
     # Clamp-to-edge below zero: the packed row at index 0 holds corners
     # (0, 1); the classic path uses (0, 0), i.e. frac 0.
-    frac = jnp.where(t0 < 0.0, 0.0, frac)
+    frac = jnp.where(t0 < 0.0, 0.0, t - t0)
     t0 = t0.astype(jnp.int32)
-    x0 = jnp.clip(t0[..., 0], 0, nx - 1)
-    y0 = jnp.clip(t0[..., 1], 0, ny - 1)
-    z0 = jnp.clip(t0[..., 2], 0, nz - 1)
-    idx = (z0 * ny + y0) * nx + x0
-    rows = jnp.take(packed.reshape(-1, 8), idx, axis=0, mode="clip")
+    cell = jnp.stack(
+        [
+            jnp.clip(t0[..., 0], 0, nx - 1),
+            jnp.clip(t0[..., 1], 0, ny - 1),
+            jnp.clip(t0[..., 2], 0, nz - 1),
+        ],
+        axis=-1,
+    )
+    row_idx = (cell[..., 2] * ny + cell[..., 1]) * nx + cell[..., 0]
+    return cell, frac, row_idx
+
+
+def trilinear_weights(frac: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] cell-relative fractions → the 8 corner weights [..., 8] in
+    ``pack_corners`` order (x fastest)."""
     fx = frac[..., 0:1]
     fy = frac[..., 1:2]
     fz = frac[..., 2:3]
     wx = jnp.concatenate([1.0 - fx, fx], axis=-1)  # [..., 2]
     wy = jnp.concatenate([1.0 - fy, fy], axis=-1)
     wz = jnp.concatenate([1.0 - fz, fz], axis=-1)
-    w = (
+    return (
         wz[..., :, None, None] * wy[..., None, :, None] * wx[..., None, None, :]
     ).reshape(*frac.shape[:-1], 8)
-    return (rows * w).sum(axis=-1)
+
+
+def trilinear_from_rows(rows: jnp.ndarray, frac: jnp.ndarray) -> jnp.ndarray:
+    """Interpolate already-fetched corner rows ``[..., 8]`` at ``frac``."""
+    return (rows * trilinear_weights(frac)).sum(axis=-1)
+
+
+def _packed_trilinear(packed: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample from a ``pack_corners`` grid: one row gather + an
+    8-weight dot.  Semantics identical to the classic 8-gather path."""
+    nz, ny, nx, _ = packed.shape
+    _, frac, idx = packed_cell(u, (nz, ny, nx))
+    rows = jnp.take(packed.reshape(-1, 8), idx, axis=0, mode="clip")
+    return trilinear_from_rows(rows, frac)
 
 
 def _gather3d(grid: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray, zi: jnp.ndarray) -> jnp.ndarray:

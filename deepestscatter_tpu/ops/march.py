@@ -66,6 +66,12 @@ def next_scattering_event(
     n = pos.shape[0]
     f32 = pos.dtype
     skip_k = static.occupancy_skip_steps
+    from .. import scene as scene_mod  # late import (scene imports ops)
+
+    rows_grid = params.march_rows.reshape(-1, 16)
+    rows_scale = jnp.float32(scene_mod.march_rows_scale(params.march_rows))
+    nz, ny, nx = static.grid_shape
+    dims_f = jnp.asarray([nx, ny, nz], f32)
 
     def cond(state):
         i, _, _, _, _, active = state
@@ -84,7 +90,14 @@ def next_scattering_event(
             new_pos = cur + direction * step_len[:, None]
         else:
             new_pos = cur + direction * step
-        density = sample_density(params, new_pos) * dm
+        cell, frac, ridx = grid_ops.packed_cell(
+            new_pos / params.bbox_size, static.grid_shape
+        )
+        dens_rows = (
+            jnp.take(rows_grid, ridx, axis=0, mode="clip")[:, :8].astype(f32)
+            * rows_scale
+        )
+        density = grid_ops.trilinear_from_rows(dens_rows, frac) * dm
         trans_new = jnp.where(active, trans * jnp.exp(-density * step), trans)
         crossed = active & (~scattered) & (optical_distance > trans_new)
         # Back-correct the scatter position inside the last step
@@ -103,6 +116,26 @@ def next_scattering_event(
         new_active = active & in_box
         if stop_at_scatter:
             new_active = new_active & (~scattered)
+        if static.march_empty_skip and skip_k < 2:
+            # Exact empty-cell exit jump on the step lattice (all 8 corners
+            # zero ⇒ density ≡ 0 across the closed cell) — free empty-space
+            # skipping out of the row we already fetched, replacing the
+            # occupancy-grid gather.
+            zero_cell = dens_rows.max(axis=-1) <= 0.0
+            cellf = cell.astype(f32)
+            lo = (cellf + 0.5) / dims_f * params.bbox_size
+            hi = (cellf + 1.5) / dims_f * params.bbox_size
+            bound = jnp.where(direction > 0.0, hi, lo)
+            safe_dir = jnp.where(
+                jnp.abs(direction) > 1e-9, direction, jnp.float32(1e-9)
+            )
+            t_ax = jnp.where(
+                jnp.abs(direction) > 1e-9, (bound - new_pos) / safe_dir, jnp.inf
+            )
+            t_exit = jnp.clip(jnp.min(t_ax, axis=-1), 0.0, None)
+            extra = jnp.minimum(jnp.floor(t_exit / step), 64.0)
+            advance = jnp.where(zero_cell & new_active, extra, 0.0)
+            new_pos = new_pos + direction * (advance * step)[:, None]
         return i + 1, new_pos, trans_new, scattered, scatter_pos, new_active
 
     init = (

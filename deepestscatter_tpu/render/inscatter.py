@@ -70,4 +70,14 @@ def with_baked_inscatter(
     """Return a copy of ``params`` with the in-scatter grid baked (stored in
     the packed-corner fast-sampling layout, like the density mips)."""
     baked = bake(params, static, quantize=quantize)
-    return params._replace(inscatter=grid_ops.pack_corners(baked))
+    from ..scene import make_march_rows  # local import: scene imports ops only
+
+    march_dtype = (
+        "uint8" if params.march_rows.dtype == jnp.uint8 else "float32"
+    )
+    # density_mips[0][..., 0] is corner (z, y, x) itself — the raw grid.
+    raw_density = params.density_mips[0][..., 0].astype(jnp.float32)
+    return params._replace(
+        inscatter=grid_ops.pack_corners(baked),
+        march_rows=make_march_rows(raw_density, baked, march_dtype),
+    )

@@ -28,6 +28,7 @@ from ..ops import grid as grid_ops
 from ..ops import march as march_ops
 from ..ops import phase as phase_ops
 from ..ops import rng as rng_ops
+from .. import scene as scene_mod
 from ..scene import SceneParams, SceneStatic, is_in_box
 from . import camera as camera_ops
 
@@ -113,8 +114,9 @@ def _scatter_loop(
     od0 = rng_ops.hash_uniform(seed, ray_ids, start_depth * _DRAWS_PER_BOUNCE)
 
     # carry = (pos, direction, trans, od, depth, weight, radiance, alive,
-    #          ray_ids, seed) — everything per-ray, so compaction is one
-    #          tree_map gather.
+    #          ray_ids, seed, pend_pos, pend_factor, pend_valid) — everything
+    #          per-ray, so compaction is one tree_map gather.  The pend_*
+    #          slots hold at most one deferred NEE per ray (windowed loop).
     carry0 = (
         pos,
         direction,
@@ -126,11 +128,179 @@ def _scatter_loop(
         alive & is_in_box(pos, params.bbox_size),
         jnp.asarray(ray_ids, jnp.uint32),
         jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), (n,)),
+        jnp.zeros((n, 3), f32),
+        jnp.zeros((n,), f32),
+        jnp.zeros((n,), bool),
     )
 
+    # ---- windowed fast path state (see _windowed_body below) --------------
+    rows_grid = params.march_rows.reshape(-1, 16)
+    rows_scale = jnp.float32(scene_mod.march_rows_scale(params.march_rows))
+    nz, ny, nx = static.grid_shape
+    dims_f = jnp.asarray([nx, ny, nz], f32)
+
+    def resolve_pending(carry):
+        """Pay the deferred NEE lookups: ONE row gather for every pending
+        (cell-mismatched) scatter event accumulated over the window."""
+        (pos, direction, trans, od, depth, weight, radiance, alive,
+         ray_ids, seed, pend_pos, pend_factor, pend_valid) = carry
+        u = pend_pos / params.bbox_size
+        _, frac, ridx = grid_ops.packed_cell(u, static.grid_shape)
+        ridx = jnp.where(pend_valid, ridx, 0)
+        rows = jnp.take(rows_grid, ridx, axis=0, mode="clip")
+        trans_sun = grid_ops.trilinear_from_rows(
+            rows[:, 8:16].astype(f32) * rows_scale, frac
+        )
+        add = (pend_factor * trans_sun)[:, None] * params.light_radiance
+        radiance = radiance + jnp.where(pend_valid[:, None], add, 0.0)
+        return (pos, direction, trans, od, depth, weight, radiance, alive,
+                ray_ids, seed, pend_pos, pend_factor,
+                jnp.zeros_like(pend_valid))
+
+    def micro_step(carry, _):
+        """One march step with ONE fused (density+inscatter) row gather.
+
+        Scatter events resolve inline when the back-corrected scatter point
+        lands in the fetched cell (~87% at step = voxel/8); otherwise the
+        NEE lookup parks in the ray's pending slot for the next resolve.
+        A ray that scatters cell-mismatched while its slot is full stalls
+        (its step is reverted) until the slot drains — rare^2, exact.
+        Empty cells (all 8 density corners zero ⇒ trilinear density ≡ 0
+        across the closed cell) advance to the cell exit on the SAME step
+        lattice, which obsoletes the separate occupancy grid+gather."""
+        (pos, direction, trans, od, depth, weight, radiance, alive,
+         ray_ids, seed, pend_pos, pend_factor, pend_valid) = carry
+
+        new_pos = pos + direction * step
+        cell, frac, ridx = grid_ops.packed_cell(
+            new_pos / params.bbox_size, static.grid_shape
+        )
+        rows = jnp.take(rows_grid, ridx, axis=0, mode="clip").astype(f32)
+        dens_rows = rows[:, :8] * rows_scale
+        density = grid_ops.trilinear_from_rows(dens_rows, frac) * dm
+        trans_new = jnp.where(alive, trans * jnp.exp(-density * step), trans)
+        crossed = alive & (od > trans_new)
+        back = jnp.log(od / jnp.maximum(trans_new, tiny)) / jnp.maximum(
+            density, jnp.float32(1e-20)
+        )
+        scatter_pos = new_pos - direction * back[:, None]
+        in_box_scatter = is_in_box(scatter_pos, params.bbox_size)
+        scattered = crossed & in_box_scatter
+
+        s_cell, s_frac, _ = grid_ops.packed_cell(
+            scatter_pos / params.bbox_size, static.grid_shape
+        )
+        same_cell = jnp.all(s_cell == cell, axis=-1)
+
+        # NEE factor (cloud.cuh:146-158) = phase * sun-ratio * path weight;
+        # radiance add also needs trans_sun(scatter_pos) — co-fetched when
+        # same-cell, deferred otherwise.
+        chopped = (depth != 1) | jnp.bool_(chopped_at_depth1)
+        cos_light = (-params.light_dir * direction).sum(axis=-1)
+        p_full, p_chop = phase_ops.eval_phase_pair(params.phase, cos_light)
+        p = jnp.where(chopped, p_chop, p_full)
+        factor = weight * p * static.sun_solid_angle_ratio
+        trans_sun_inline = grid_ops.trilinear_from_rows(
+            rows[:, 8:16] * rows_scale, s_frac
+        )
+        resolve_now = scattered & same_cell
+        defer = scattered & ~same_cell
+        stall = defer & pend_valid
+        ok = ~stall
+        take_pend = defer & ~pend_valid
+        radiance = radiance + jnp.where(
+            resolve_now[:, None],
+            (factor * trans_sun_inline)[:, None] * params.light_radiance,
+            0.0,
+        )
+        pend_pos = jnp.where(take_pend[:, None], scatter_pos, pend_pos)
+        pend_factor = jnp.where(take_pend, factor, pend_factor)
+        pend_valid = pend_valid | take_pend
+
+        # Direction resample + free-flight reset (small VMEM-resident
+        # tables — cheap relative to the grid gather).
+        ctr = depth * _DRAWS_PER_BOUNCE
+        u_cdf = rng_ops.hash_uniform(seed, ray_ids, ctr + 1)
+        u_phi = rng_ops.hash_uniform(seed, ray_ids, ctr + 2)
+        nd = new_direction(params, direction, u_cdf, u_phi)
+        crossed_ok = crossed & ok
+        scattered_ok = scattered & ok
+        new_depth = jnp.where(crossed_ok, depth + 1, depth)
+        od_next = rng_ops.hash_uniform(
+            seed, ray_ids, new_depth * _DRAWS_PER_BOUNCE
+        )
+
+        # Exact empty-cell exit jump, staying on the step lattice.
+        if static.march_empty_skip:
+            zero_cell = dens_rows.max(axis=-1) <= 0.0
+            cellf = cell.astype(f32)
+            lo = (cellf + 0.5) / dims_f * params.bbox_size
+            hi = (cellf + 1.5) / dims_f * params.bbox_size
+            bound = jnp.where(direction > 0.0, hi, lo)
+            safe_dir = jnp.where(
+                jnp.abs(direction) > 1e-9, direction, jnp.float32(1e-9)
+            )
+            t_ax = jnp.where(
+                jnp.abs(direction) > 1e-9, (bound - new_pos) / safe_dir, jnp.inf
+            )
+            t_exit = jnp.clip(jnp.min(t_ax, axis=-1), 0.0, None)
+            extra = jnp.minimum(jnp.floor(t_exit / step), 64.0)
+            advance = jnp.where(zero_cell & alive & ~crossed, extra, 0.0)
+            pos_after = new_pos + direction * (advance * step)[:, None]
+        else:
+            pos_after = new_pos
+
+        pos_c = jnp.where(crossed_ok[:, None], scatter_pos, pos_after)
+        dir_c = jnp.where(scattered_ok[:, None], nd, direction)
+        trans_c = jnp.where(crossed_ok, 1.0, trans_new)
+        od_c = jnp.where(crossed_ok, od_next, od)
+
+        exited = alive & ok & (~crossed) & (~is_in_box(pos_after, params.bbox_size))
+        dead = (
+            exited
+            | (crossed_ok & ~in_box_scatter)
+            | (crossed_ok & (new_depth >= static.max_depth))
+        )
+        if static.rr_start_depth > 0:
+            q = jnp.float32(static.rr_survival)
+            u_rr = rng_ops.hash_uniform(seed, ray_ids, ctr + 3)
+            rr_active = crossed_ok & (new_depth >= static.rr_start_depth)
+            killed = rr_active & (u_rr >= q)
+            weight = jnp.where(rr_active & ~killed, weight / q, weight)
+            dead = dead | killed
+        alive_c = alive & ~dead
+
+        # Stalled rays revert the whole step (their RNG is keyed by depth,
+        # so the retry next micro-step replays the identical draws).
+        okc = ok[:, None]
+        return (
+            jnp.where(okc, pos_c, pos),
+            jnp.where(okc, dir_c, direction),
+            jnp.where(ok, trans_c, trans),
+            jnp.where(ok, od_c, od),
+            jnp.where(ok, new_depth, depth),
+            weight,
+            radiance,
+            jnp.where(ok, alive_c, alive),
+            ray_ids,
+            seed,
+            pend_pos,
+            pend_factor,
+            pend_valid,
+        ), None
+
+    def windowed_body(state):
+        i, carry = state
+        carry, _ = jax.lax.scan(
+            micro_step, carry, None, length=static.march_window
+        )
+        return i + static.march_window, resolve_pending(carry)
+
     def body(state):
+        """Legacy one-phase body (march_window == 0): two grid gathers per
+        step.  Kept as the equality oracle for the windowed fast path."""
         i, (pos, direction, trans, od, depth, weight, radiance, alive,
-            ray_ids, seed) = state
+            ray_ids, seed, pend_pos, pend_factor, pend_valid) = state
         if static.occupancy_skip_steps >= 2:
             # Empty-space skipping: a zero dilated-occupancy block certifies
             # one block of exactly-zero density ahead — advance K steps in
@@ -199,10 +369,16 @@ def _scatter_loop(
             weight = jnp.where(rr_active & ~killed, weight / q, weight)
             alive = alive & ~killed
         return i + 1, (pos, direction, trans, od, new_depth, weight,
-                       radiance, alive, ray_ids, seed)
+                       radiance, alive, ray_ids, seed,
+                       pend_pos, pend_factor, pend_valid)
+
+    phase_body = windowed_body if static.march_window >= 1 else body
 
     def run_phase(i, carry, stop_below):
-        """while_loop until < stop_below rays stay alive (0 = until none)."""
+        """while_loop until < stop_below rays stay alive (0 = until none).
+        Pending NEE slots are drained on exit so subsequent compaction
+        (which keeps only LIVE rays) cannot drop a dead ray's deferred
+        contribution."""
 
         def cond(state):
             alive = state[1][7]
@@ -210,7 +386,8 @@ def _scatter_loop(
             enough = live >= stop_below if stop_below else live
             return jnp.logical_and(state[0] < static.max_total_steps, enough)
 
-        return jax.lax.while_loop(cond, body, (i, carry))
+        i, carry = jax.lax.while_loop(cond, phase_body, (i, carry))
+        return i, resolve_pending(carry)
 
     def compact(carry, m):
         """Gather the ≤ m live rays into an m-sized buffer.  Returns the
@@ -226,6 +403,7 @@ def _scatter_loop(
             jnp.zeros((m, 3), f32),  # fresh radiance accumulator
             small[7] & valid,
             small[8], small[9],
+            small[10], small[11], small[12] & valid,
         )
         return small, idx, valid
 

@@ -31,6 +31,11 @@ class SceneParams(NamedTuple):
 
     density_mips: Tuple[jnp.ndarray, ...]  # mip pyramid, packed [Z, Y, X, 8]
     inscatter: jnp.ndarray  # sun-transmittance grid, packed [Z, Y, X, 8]
+    #: Fused march rows [Z, Y, X, 16]: density corners + inscatter corners
+    #: co-packed so the hot loop pays ONE row gather per step (gather cost
+    #: on TPU is per row, not per byte).  float32 or uint8 (x255), per
+    #: config.CloudRendering.march_dtype.
+    march_rows: jnp.ndarray
     occupancy: jnp.ndarray  # coarse dilated max-density blocks, [Zb, Yb, Xb]
     bbox_size: jnp.ndarray  # [3] (x, y, z), max component == 1
     light_dir: jnp.ndarray  # [3] normalized, pointing *from* sun
@@ -62,6 +67,13 @@ class SceneStatic:
     #: occupancy block (0/1 = disabled).
     occupancy_block: int = 8
     occupancy_skip_steps: int = 0
+    #: Micro-steps per deferred-NEE resolve in the path-tracing loop
+    #: (config.CloudRendering.march_window; 0 = legacy one-phase loop).
+    march_window: int = 8
+    #: Exact empty-cell exit jumps in the windowed loop (all 8 density
+    #: corners zero ⇒ trilinear density ≡ 0 over the closed cell).  Test
+    #: hook; always a win when on.
+    march_empty_skip: bool = True
 
     @property
     def max_march_steps(self) -> int:
@@ -83,6 +95,27 @@ class SceneStatic:
             math.ceil(self.max_depth * (mean_segment_steps + 3.0))
             + 2 * self.max_march_steps
         )
+
+
+def make_march_rows(
+    density: jnp.ndarray, inscatter: jnp.ndarray, march_dtype: str = "float32"
+) -> jnp.ndarray:
+    """Fused [Z, Y, X, 16] march rows (density + inscatter corners).
+
+    ``march_dtype == "uint8"`` stores both fields quantized x255 — the
+    reference's own storage (density: Resources.cpp:93-96; in-scatter:
+    inScatter.cu:65); samplers dequantize by 1/255."""
+    rows = grid_ops.pack_corner_pair(density, inscatter)
+    if march_dtype == "uint8":
+        return jnp.round(rows * 255.0).astype(jnp.uint8)
+    if march_dtype != "float32":
+        raise ValueError(f"march_dtype must be float32|uint8, got {march_dtype}")
+    return rows
+
+
+def march_rows_scale(march_rows: jnp.ndarray) -> float:
+    """Dequantization scale for fetched march rows."""
+    return 1.0 / 255.0 if march_rows.dtype == jnp.uint8 else 1.0
 
 
 def build_scene(
@@ -142,6 +175,7 @@ def build_scene(
         rr_survival=cfg.rendering.rr_survival,
         occupancy_block=occ_block,
         occupancy_skip_steps=skip_steps,
+        march_window=cfg.rendering.march_window,
     )
 
     if inscatter is None:
@@ -155,6 +189,11 @@ def build_scene(
             grid_ops.pack_corners(jnp.asarray(m, dtype)) for m in mips
         ),
         inscatter=grid_ops.pack_corners(jnp.asarray(inscatter, dtype)),
+        march_rows=make_march_rows(
+            jnp.asarray(mips[0], jnp.float32),
+            jnp.asarray(inscatter, jnp.float32),
+            cfg.rendering.march_dtype,
+        ),
         occupancy=jnp.asarray(
             grid_ops.build_occupancy(density, occ_block), dtype
         ),

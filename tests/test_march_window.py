@@ -1,0 +1,118 @@
+"""Equivalence of the windowed path-tracing loop vs the legacy oracle.
+
+The windowed fast path (render.pathtracer: ONE fused density+inscatter row
+gather per micro-step, inline same-cell NEE, deferred cell-mismatched NEE,
+exact empty-cell exit jumps) must compute the SAME estimator as the legacy
+one-phase loop (march_window=0, two grid gathers per step) — the estimator
+of the reference's cloudRadianceMaterials.cu bounce loop.  RNG draws are
+keyed by (seed, ray, depth), not by step index, so every variant replays
+identical random sequences and the images must agree to float precision
+(summation-order differences only); the empty-cell jump changes the
+positions by one fused multiply-add vs repeated adds, so it is compared
+statistically on the image mean.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepestscatter_tpu import scene as scene_mod
+from deepestscatter_tpu.config import (
+    CameraConfig,
+    CloudModel,
+    CloudRendering,
+    SceneConfig,
+)
+from deepestscatter_tpu.data import procedural
+from deepestscatter_tpu.render import camera as camera_ops
+from deepestscatter_tpu.render import inscatter
+from deepestscatter_tpu.render import pathtracer as pt
+
+
+@pytest.fixture(scope="module")
+def rig():
+    cfg = SceneConfig(
+        cloud=CloudModel(size_m=600.0),
+        camera=CameraConfig(width=16, height=8),
+        rendering=CloudRendering(max_depth=15, sample_step=1.0 / 64.0),
+    )
+    density = procedural.cumulus(resolution=24, seed=3)
+    params, static = scene_mod.build_scene(cfg, density)
+    params = inscatter.with_baked_inscatter(params, static)
+    basis = camera_ops.camera_basis(cfg.camera)
+    origins, directions = camera_ops.generate_rays(basis, 16, 8)
+
+    def render(st):
+        return np.asarray(
+            pt.render_subframe(params, st, origins, directions, 7, jnp.int32(0))
+        )
+
+    return static, render
+
+
+def test_window_size_invariance(rig):
+    """Window length only re-batches the deferred resolves — same paths,
+    same draws, same radiance (modulo fp summation order)."""
+    static, render = rig
+    img_w8 = render(static)
+    img_w1 = render(dataclasses.replace(static, march_window=1))
+    assert np.isfinite(img_w8).all()
+    scale = np.abs(img_w8).max() + 1e-9
+    assert np.abs(img_w1 - img_w8).max() / scale < 1e-5
+
+
+def test_windowed_matches_legacy_oracle(rig):
+    """Windowed loop (skip off, identical step lattice) vs the legacy
+    two-gather loop: identical paths, per-pixel float-precision equality."""
+    static, render = rig
+    img_leg = render(dataclasses.replace(static, march_window=0))
+    img_win = render(
+        dataclasses.replace(static, march_window=8, march_empty_skip=False)
+    )
+    scale = np.abs(img_leg).max() + 1e-9
+    assert np.abs(img_leg - img_win).max() / scale < 1e-5
+
+
+def test_empty_skip_unbiased(rig):
+    """Empty-cell exit jumps sample a density that is exactly zero over the
+    skipped segment, so the estimator mean is unchanged (positions differ
+    by ulps → individual threshold crossings may flip → compare means)."""
+    static, render = rig
+    img_skip = render(static)
+    img_dense = render(dataclasses.replace(static, march_empty_skip=False))
+    m0, m1 = float(img_dense.mean()), float(img_skip.mean())
+    assert abs(m0 - m1) / (abs(m0) + 1e-9) < 2e-2
+
+
+def test_uint8_rows_match_reference_quantization(rig):
+    """uint8 march rows (the reference's texture storage) stay close to the
+    float32 estimator on a smooth cloud: quantization error is 1/255 of
+    density/transmittance, so the image mean shifts by at most a few %."""
+    static, _ = rig
+    cfg = SceneConfig(
+        cloud=CloudModel(size_m=600.0),
+        camera=CameraConfig(width=16, height=8),
+        rendering=CloudRendering(
+            max_depth=15, sample_step=1.0 / 64.0, march_dtype="uint8"
+        ),
+    )
+    density = procedural.cumulus(resolution=24, seed=3)
+    params_u8, static_u8 = scene_mod.build_scene(cfg, density)
+    params_u8 = inscatter.with_baked_inscatter(params_u8, static_u8)
+    assert params_u8.march_rows.dtype == jnp.uint8
+    basis = camera_ops.camera_basis(cfg.camera)
+    origins, directions = camera_ops.generate_rays(basis, 16, 8)
+    img_u8 = np.asarray(
+        pt.render_subframe(
+            params_u8, static_u8, origins, directions, 7, jnp.int32(0)
+        )
+    )
+    _, render = rig
+    img_f32 = render(static)
+    m0, m1 = float(img_f32.mean()), float(img_u8.mean())
+    assert np.isfinite(img_u8).all()
+    assert abs(m0 - m1) / (abs(m0) + 1e-9) < 0.1
