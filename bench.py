@@ -23,6 +23,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from deepestscatter_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from deepestscatter_tpu import scene as scene_mod
     from deepestscatter_tpu.config import (
         CameraConfig,

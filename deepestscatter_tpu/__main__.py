@@ -25,10 +25,21 @@ def main(argv=None) -> int:
     r = sub.add_parser("render", help="render a cloud (renderCloud task)")
     r.add_argument("cloud")
     r.add_argument("--out", default=".")
-    r.add_argument("--renderer", default="pt", choices=["pt"])
+    r.add_argument(
+        "--renderer", default="pt", choices=["pt", "nn", "bnn"],
+        help="pt = path-traced ground truth; nn = RPNN; bnn = baked "
+        "two-network (the reference renderCloud default, Tasks.cpp:86)",
+    )
+    r.add_argument(
+        "--models-dir", default="runs",
+        help="directory of exported *.params.msgpack (':init:' = untrained "
+        "weights, smoke renders only)",
+    )
     r.add_argument("--size-m", type=float, default=3000.0)
     r.add_argument("--directions", nargs="+", default=["Side", "Back"])
     r.add_argument("--max-subframes", type=int, default=None)
+    r.add_argument("--width", type=int, default=None)
+    r.add_argument("--height", type=int, default=None)
 
     s = sub.add_parser("setups", help="seed SceneSetup tables")
     s.add_argument("dataset_root")
@@ -73,9 +84,20 @@ def main(argv=None) -> int:
                     base.progressive, max_subframes=args.max_subframes
                 ),
             )
+        if args.width or args.height:
+            cam = base.camera
+            base = dataclasses.replace(
+                base,
+                camera=dataclasses.replace(
+                    cam,
+                    width=args.width or cam.width,
+                    height=args.height or cam.height,
+                ),
+            )
         tasks.render_cloud(
             args.cloud, args.out, args.renderer, args.size_m,
             directions=args.directions, base=base,
+            models_dir=args.models_dir,
         )
     elif args.cmd == "setups":
         import os

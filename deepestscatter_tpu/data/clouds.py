@@ -41,10 +41,12 @@ def load_density(path: str) -> np.ndarray:
         npz = path + ".npz"
         if os.path.exists(npz):
             return load_density(npz)
-        raise FileNotFoundError(
-            f"{path}: convert VDB offline first: "
-            f"python tools/vdb_to_npz.py {path} (requires pyopenvdb)"
-        )
+        # Direct parse via the built-in OpenVDB-subset reader (data/vdb.py);
+        # blosc-compressed archives raise with a pointer to the offline
+        # converter (tools/vdb_to_npz.py, which uses pyopenvdb if present).
+        from . import vdb as vdb_mod
+
+        return vdb_mod.load_density_vdb(path)
     raise ValueError(f"unsupported cloud source: {path}")
 
 

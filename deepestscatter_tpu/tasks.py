@@ -148,6 +148,59 @@ def collect(
     return processed
 
 
+def _load_neural_renderer(kind: str, params, static, models_dir: Optional[str]):
+    """Construct an NN/BNN frame renderer from exported training artifacts
+    (the analog of the reference loading ``DisneyModel.pt`` /
+    ``LightProbeModel.pt`` — DisneyRenderer.cpp:19, BakedRenderer.cpp:12).
+
+    ``models_dir=":init:"`` uses freshly initialized weights (smoke tests).
+    """
+    import jax
+
+    from .models.probes import LightProbeModel, ProbeRendererModel
+    from .models.rpnn import DisneyModel
+    from .render.baked import BakedRenderer
+    from .render.neural import DisneyRenderer
+    from .train.trainer import load_pytree
+
+    init = models_dir == ":init:"
+    root = models_dir or "runs"
+
+    def load(name: str, model, *sample_shapes):
+        variables = model.init(
+            jax.random.PRNGKey(566),
+            *(jnp.zeros(s) for s in sample_shapes),
+        )
+        if init:
+            return variables
+        path = os.path.join(root, f"{name}.params.msgpack")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path}: train first (`python -m deepestscatter_tpu "
+                f"train-{'disney' if kind == 'nn' else 'baked'} ...`) or "
+                f"pass models_dir=':init:' for untrained smoke renders"
+            )
+        return load_pytree(path, variables)
+
+    if kind == "nn":
+        model = DisneyModel()
+        return DisneyRenderer(model, load("DisneyModel", model, (1, 10, 226)))
+    if kind == "bnn":
+        probe_model = LightProbeModel()
+        renderer_model = ProbeRendererModel()
+        return BakedRenderer(
+            params,
+            static,
+            probe_model,
+            load("LightProbeModel", probe_model, (1, 9, 225)),
+            renderer_model,
+            load(
+                "ProbeRendererModel", renderer_model, (1, 202), (1, 3, 226)
+            ),
+        )
+    raise ValueError(f"unknown neural renderer {kind!r} (want 'nn' or 'bnn')")
+
+
 def render_cloud(
     cloud_path: str,
     out_dir: str = ".",
@@ -157,12 +210,21 @@ def render_cloud(
     directions=("Side", "Back"),
     base: Optional[SceneConfig] = None,
     verbose: bool = True,
+    models_dir: Optional[str] = None,
 ) -> list:
     """The renderCloud task (Tasks.cpp:104-112): one render per light
     direction at 512x256, EXR named ``<cloud>.<dir>.<NAME>.exr``.
 
-    ``renderer``: "pt" (progressive ground truth to convergence) or a
-    prebuilt neural renderer object with ``render_frame`` (NN/BNN).
+    ``renderer``:
+      "pt"  — progressive ground truth to convergence;
+      "nn"  — the RPNN renderer (DisneyRenderer.cpp analog), weights from
+              ``<models_dir>/DisneyModel.params.msgpack``;
+      "bnn" — the baked two-network renderer (BakedRenderer.cpp analog:
+              the task the reference's renderCloud hardwires, Tasks.cpp:86),
+              weights from ``LightProbeModel`` / ``ProbeRendererModel``
+              exports; the probe lattice is baked per scene at init.
+    Passing a prebuilt ``neural_renderer`` object with ``render_frame``
+    overrides the model loading (used by tests).
     """
     base = base or SceneConfig()
     density = clouds_mod.prepare(clouds_mod.load_density(cloud_path))
@@ -188,9 +250,14 @@ def render_cloud(
             hdr = prog.run(verbose=verbose)
             name = "PT"
         else:
+            frame_renderer = neural_renderer
+            if frame_renderer is None:
+                frame_renderer = _load_neural_renderer(
+                    renderer, params, static, models_dir
+                )
             basis = camera_ops.camera_basis(cfg.camera)
             hdr = np.asarray(
-                neural_renderer.render_frame(
+                frame_renderer.render_frame(
                     params,
                     static,
                     cfg.camera.width,

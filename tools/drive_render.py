@@ -8,6 +8,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from deepestscatter_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 print("devices:", jax.devices(), flush=True)
 
 from deepestscatter_tpu.config import SceneConfig, CameraConfig, CloudModel
