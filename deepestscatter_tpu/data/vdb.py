@@ -382,10 +382,14 @@ def _read_grid_tree(
     for r in roots:
         collect_tiles(r, _LOG2_UPPER)
 
-    # Leaf buffers, in the same depth-first order as topology.
+    # Leaf buffers, in the same depth-first order as topology.  Each leaf
+    # buffer record re-stores the 512-bit value mask (LeafNode::readBuffers
+    # loads mValueMask again before io::readCompressedValues) — the mask is
+    # in the file twice, once in topology and once here.
     leaves = []
     for r in roots:
-        for origin, value_mask in _iter_leaves(r):
+        for origin, _topo_mask in _iter_leaves(r):
+            value_mask = _load_mask(f, _LEAF_N)
             values = _read_compressed_values(
                 f, _LEAF_N, value_mask, compression, background, file_version
             )
@@ -414,22 +418,36 @@ def read_vdb(path: str, dense_limit: int = 2048) -> List[VdbGrid]:
             archive_compression = (
                 COMPRESS_ZIP if _read_struct(f, "<b") else COMPRESS_NONE
             )
-        if file_version >= 221:
-            _read(f, 36)  # uuid
+        if file_version >= 218:
+            _read(f, 36)  # 36-char ASCII uuid (since BOOST_UUID = 218)
         _read_metamap(f)  # archive metadata
         grid_count = _read_struct(f, "<I")
 
         grids: List[VdbGrid] = []
         for _ in range(grid_count):
+            # GridDescriptor::read: unique name, grid type, instance-parent
+            # name (always present since GRID_INSTANCING = 216, i.e. every
+            # version this parser accepts), then the stream-position triple
+            # which GridDescriptor::writeStreamPos emits UNCONDITIONALLY
+            # (the header's offsets flag only says whether they are useful
+            # for random access, not whether they exist).
             unique_name = _read_string(f)
             grid_type = _read_string(f)
             if grid_type.endswith("_HalfFloat"):
                 raise VdbFormatError("half-float grids are unsupported")
-            if has_offsets:
-                grid_pos, _block_pos, end_pos = _read_struct(f, "<qqq")
+            instance_parent = _read_string(f)
+            grid_pos, _block_pos, end_pos = _read_struct(f, "<qqq")
+            if has_offsets and grid_pos > 0:
                 f.seek(grid_pos)
-            else:
-                end_pos = None
+            if instance_parent:
+                # Instanced grids share the parent's tree and store no data
+                # of their own beyond metadata+transform — skip.
+                if end_pos <= 0:
+                    raise VdbFormatError(
+                        "cannot skip instanced grid without stream offsets"
+                    )
+                f.seek(end_pos)
+                continue
             compression = archive_compression
             if file_version >= 222:
                 compression = _read_struct(f, "<I")
@@ -440,9 +458,10 @@ def read_vdb(path: str, dense_limit: int = 2048) -> List[VdbGrid]:
                 )
             meta = _read_metamap(f)
             if grid_type != _FLOAT_TREE:
-                if end_pos is None:
+                if end_pos <= 0:
                     raise VdbFormatError(
-                        f"cannot skip grid type {grid_type!r} without offsets"
+                        f"cannot skip grid type {grid_type!r} without "
+                        "stream offsets"
                     )
                 f.seek(end_pos)
                 continue
@@ -459,7 +478,7 @@ def read_vdb(path: str, dense_limit: int = 2048) -> List[VdbGrid]:
                     dense_limit,
                 )
             )
-            if end_pos is not None:
+            if end_pos > 0:
                 f.seek(end_pos)
         return grids
 
@@ -510,33 +529,36 @@ def _write_metamap(f: BinaryIO, entries: Dict[str, str]) -> None:
         f.write(raw)
 
 
-def _write_leafed_tree(f: BinaryIO, dense: np.ndarray, background: float) -> None:
-    """Emit the 5-4-3 topology + buffers for a dense [Z, Y, X] array
+def _upper_children(dense: np.ndarray):
+    """Root-level upper-node origins covering a dense [Z, Y, X] array
     anchored at index origin (0, 0, 0)."""
     nz, ny, nx = dense.shape
-    f.write(struct.pack("<I", 1))  # Tree topology buffer count
-    f.write(struct.pack("<f", background))
-
-    # Partition into upper-node (4096^3-span) children at the root.
     ux = -(-nx // UPPER_SPAN)
     uy = -(-ny // UPPER_SPAN)
     uz = -(-nz // UPPER_SPAN)
+    for cx in range(ux):
+        for cy in range(uy):
+            for cz in range(uz):
+                yield (cx * UPPER_SPAN, cy * UPPER_SPAN, cz * UPPER_SPAN)
+
+
+def _write_tree_topology(f: BinaryIO, dense: np.ndarray, background: float) -> None:
+    """Tree::writeTopology for a dense [Z, Y, X] array (masks + tile values;
+    leaf voxel buffers are a separate stream section — ``_write_tree_buffers``)."""
+    f.write(struct.pack("<I", 1))  # Tree topology buffer count
+    f.write(struct.pack("<f", background))
+    children = list(_upper_children(dense))
     f.write(struct.pack("<I", 0))  # no root tiles
-    f.write(struct.pack("<I", ux * uy * uz))
+    f.write(struct.pack("<I", len(children)))
+    for origin in children:
+        f.write(struct.pack("<iii", *origin))
+        _write_internal(f, dense, origin, _LOG2_UPPER, background)
 
-    for cx in range(ux):
-        for cy in range(uy):
-            for cz in range(uz):
-                origin = (cx * UPPER_SPAN, cy * UPPER_SPAN, cz * UPPER_SPAN)
-                f.write(struct.pack("<iii", *origin))
-                _write_internal(f, dense, origin, _LOG2_UPPER, background)
 
-    # Leaf buffers in the same depth-first order.
-    for cx in range(ux):
-        for cy in range(uy):
-            for cz in range(uz):
-                origin = (cx * UPPER_SPAN, cy * UPPER_SPAN, cz * UPPER_SPAN)
-                _write_leaf_buffers(f, dense, origin, _LOG2_UPPER)
+def _write_tree_buffers(f: BinaryIO, dense: np.ndarray) -> None:
+    """Tree::writeBuffers — leaf voxel buffers in depth-first slot order."""
+    for origin in _upper_children(dense):
+        _write_leaf_buffers(f, dense, origin, _LOG2_UPPER)
 
 
 def _node_slots(dense, origin, log2dim):
@@ -596,23 +618,38 @@ def _write_leaf_buffers(f, dense, origin, log2dim):
         if log2dim == _LOG2_UPPER:
             _write_leaf_buffers(f, dense, corigin, _LOG2_LOWER)
         else:
-            _write_compressed_values(f, _leaf_values(dense, corigin))
+            # LeafNode::writeBuffers re-stores the value mask before the
+            # compressed values (the mask is in the archive twice).
+            values = _leaf_values(dense, corigin)
+            _save_mask(f, values != 0)
+            _write_compressed_values(f, values)
 
 
 def write_vdb(path: str, grid: VdbGrid) -> None:
-    """Write one float grid as a version-224 archive (NONE compression)."""
+    """Write one float grid as a version-224 archive (NONE compression).
+
+    Mirrors ``io::Archive::writeGrid``: the descriptor reserves space for
+    the (gridPos, blockPos, endPos) triple, the grid body is written, and
+    the real positions are patched back in.
+    """
     if grid.bbox_min != (0, 0, 0):
         raise VdbFormatError("writer only supports origin-anchored grids")
+    dense = np.asarray(grid.dense, np.float32)
     with open(path, "wb") as f:
         f.write(struct.pack("<q", MAGIC))
         f.write(struct.pack("<I", _FILE_VERSION))
         f.write(struct.pack("<II", _LIB_MAJOR, _LIB_MINOR))
-        f.write(struct.pack("<b", 0))  # no grid offsets (single grid)
+        f.write(struct.pack("<b", 1))  # grid offsets are valid (seekable)
         f.write(str(uuid_mod.UUID(int=0)).encode("ascii"))  # deterministic
         _write_metamap(f, {})
         f.write(struct.pack("<I", 1))  # grid count
+        # GridDescriptor::writeHeader: unique name, type, instance parent.
         _write_string(f, grid.name)
         _write_string(f, _FLOAT_TREE)
+        _write_string(f, "")  # no instance parent
+        stream_pos_at = f.tell()
+        f.write(struct.pack("<qqq", 0, 0, 0))  # placeholder positions
+        grid_pos = f.tell()
         f.write(struct.pack("<I", COMPRESS_NONE))
         _write_metamap(f, dict(grid.metadata))
         _write_string(f, "AffineMap")
@@ -620,7 +657,12 @@ def write_vdb(path: str, grid: VdbGrid) -> None:
         mat[0, 0] = mat[1, 1] = mat[2, 2] = grid.voxel_size
         mat[3, 3] = 1.0
         f.write(mat.tobytes())
-        _write_leafed_tree(f, np.asarray(grid.dense, np.float32), grid.background)
+        _write_tree_topology(f, dense, grid.background)
+        block_pos = f.tell()
+        _write_tree_buffers(f, dense)
+        end_pos = f.tell()
+        f.seek(stream_pos_at)
+        f.write(struct.pack("<qqq", grid_pos, block_pos, end_pos))
 
 
 def load_density_vdb(path: str, grid_name: Optional[str] = None) -> np.ndarray:

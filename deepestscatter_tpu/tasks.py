@@ -148,10 +148,19 @@ def collect(
     return processed
 
 
-def _load_neural_renderer(kind: str, params, static, models_dir: Optional[str]):
-    """Construct an NN/BNN frame renderer from exported training artifacts
-    (the analog of the reference loading ``DisneyModel.pt`` /
-    ``LightProbeModel.pt`` — DisneyRenderer.cpp:19, BakedRenderer.cpp:12).
+#: Trainer run-subdirectories searched for exported weights — the trainers
+#: write ``<run_dir>/<trainer-name>/<Model>.params.msgpack``
+#: (train/trainer.py Trainer.export).
+_TRAINER_SUBDIRS = {"nn": "DisneyModel", "bnn": "BakedModel"}
+
+
+def _load_neural_weights(kind: str, models_dir: Optional[str]) -> dict:
+    """Load the exported params pytrees an NN/BNN renderer needs (the analog
+    of the reference loading ``DisneyModel.pt`` / ``LightProbeModel.pt`` —
+    DisneyRenderer.cpp:19, BakedRenderer.cpp:12).  Weights are searched in
+    ``models_dir`` itself and in the trainer's run subdirectory
+    (``<models_dir>/DisneyModel`` / ``<models_dir>/BakedModel``), matching
+    where the default training run exports them.
 
     ``models_dir=":init:"`` uses freshly initialized weights (smoke tests).
     """
@@ -159,12 +168,11 @@ def _load_neural_renderer(kind: str, params, static, models_dir: Optional[str]):
 
     from .models.probes import LightProbeModel, ProbeRendererModel
     from .models.rpnn import DisneyModel
-    from .render.baked import BakedRenderer
-    from .render.neural import DisneyRenderer
     from .train.trainer import load_pytree
 
     init = models_dir == ":init:"
     root = models_dir or "runs"
+    search_dirs = [root, os.path.join(root, _TRAINER_SUBDIRS.get(kind, ""))]
 
     def load(name: str, model, *sample_shapes):
         variables = model.init(
@@ -173,32 +181,58 @@ def _load_neural_renderer(kind: str, params, static, models_dir: Optional[str]):
         )
         if init:
             return variables
-        path = os.path.join(root, f"{name}.params.msgpack")
-        if not os.path.exists(path):
-            raise FileNotFoundError(
-                f"{path}: train first (`python -m deepestscatter_tpu "
-                f"train-{'disney' if kind == 'nn' else 'baked'} ...`) or "
-                f"pass models_dir=':init:' for untrained smoke renders"
-            )
-        return load_pytree(path, variables)
+        for d in search_dirs:
+            path = os.path.join(d, f"{name}.params.msgpack")
+            if os.path.exists(path):
+                return load_pytree(path, variables)
+        raise FileNotFoundError(
+            f"{name}.params.msgpack not found under {search_dirs}: train "
+            f"first (`python -m deepestscatter_tpu "
+            f"train-{'disney' if kind == 'nn' else 'baked'} ...`) or "
+            f"pass models_dir=':init:' for untrained smoke renders"
+        )
 
     if kind == "nn":
         model = DisneyModel()
-        return DisneyRenderer(model, load("DisneyModel", model, (1, 10, 226)))
+        return {"model": model, "params": load("DisneyModel", model, (1, 10, 226))}
     if kind == "bnn":
         probe_model = LightProbeModel()
         renderer_model = ProbeRendererModel()
-        return BakedRenderer(
-            params,
-            static,
-            probe_model,
-            load("LightProbeModel", probe_model, (1, 9, 225)),
-            renderer_model,
-            load(
+        return {
+            "probe_model": probe_model,
+            "probe_params": load("LightProbeModel", probe_model, (1, 9, 225)),
+            "renderer_model": renderer_model,
+            "renderer_params": load(
                 "ProbeRendererModel", renderer_model, (1, 202), (1, 3, 226)
             ),
-        )
+        }
     raise ValueError(f"unknown neural renderer {kind!r} (want 'nn' or 'bnn')")
+
+
+def _build_neural_renderer(kind: str, weights: dict, params, static):
+    """Construct the frame renderer from preloaded weights.  NN is
+    scene-independent; BNN re-bakes its probe lattice per scene/light
+    (BakedRenderer.cpp:86 — the bake depends on the light direction)."""
+    from .render.baked import BakedRenderer
+    from .render.neural import DisneyRenderer
+
+    if kind == "nn":
+        return DisneyRenderer(weights["model"], weights["params"])
+    return BakedRenderer(
+        params,
+        static,
+        weights["probe_model"],
+        weights["probe_params"],
+        weights["renderer_model"],
+        weights["renderer_params"],
+    )
+
+
+def _load_neural_renderer(kind: str, params, static, models_dir: Optional[str]):
+    """One-shot load+build (kept for tests/back-compat)."""
+    return _build_neural_renderer(
+        kind, _load_neural_weights(kind, models_dir), params, static
+    )
 
 
 def render_cloud(
@@ -234,6 +268,17 @@ def render_cloud(
     )
     stem = os.path.join(out_dir, cloud_name)
     outputs = []
+    # Weights load once; only the BNN probe bake is per-direction (the
+    # reference re-loads DisneyModel.pt per task container — here the NN
+    # renderer is fully reusable across light directions).
+    weights = None
+    shared_nn_renderer = None
+    if renderer != "pt" and neural_renderer is None:
+        weights = _load_neural_weights(renderer, models_dir)
+        if renderer == "nn":
+            shared_nn_renderer = _build_neural_renderer(
+                "nn", weights, None, None
+            )
     for dir_name in directions:
         light = LIGHT_DIRECTIONS[dir_name]
         cfg = dataclasses.replace(
@@ -252,8 +297,8 @@ def render_cloud(
         else:
             frame_renderer = neural_renderer
             if frame_renderer is None:
-                frame_renderer = _load_neural_renderer(
-                    renderer, params, static, models_dir
+                frame_renderer = shared_nn_renderer or _build_neural_renderer(
+                    renderer, weights, params, static
                 )
             basis = camera_ops.camera_basis(cfg.camera)
             hdr = np.asarray(

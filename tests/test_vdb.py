@@ -71,10 +71,11 @@ def test_blosc_rejected(tmp_path):
     path = str(tmp_path / "b.vdb")
     vdb.write_vdb(path, vdb.VdbGrid("density", dense))
     raw = bytearray(open(path, "rb").read())
-    # Patch the per-grid compression flags (uint32 right after the two
-    # strings following the grid count).
+    # Patch the per-grid compression flags (uint32 after the descriptor:
+    # unique name, type, instance parent, and the stream-position triple).
     off = 8 + 4 + 8 + 1 + 36 + 4 + 4  # header + empty metamap + grid count
     off += 4 + len("density") + 4 + len("Tree_float_5_4_3")
+    off += 4 + 24  # empty instance-parent string + (grid, block, end) pos
     raw[off : off + 4] = struct.pack("<I", vdb.COMPRESS_BLOSC)
     open(path, "wb").write(bytes(raw))
     with pytest.raises(vdb.VdbFormatError, match="blosc"):
@@ -101,6 +102,134 @@ def test_vdb_to_npz_tool(tmp_path):
     arr = np.load(out)["density"]
     assert arr.dtype == np.float32
     assert arr.max() == pytest.approx(dense.max())
+
+
+def _ws(w, s: str):
+    import struct
+
+    raw = s.encode()
+    w(struct.pack("<I", len(raw)))
+    w(raw)
+
+
+def test_openvdb_style_fixture_archive(tmp_path):
+    """Reader parses an archive hand-crafted to OpenVDB's own writer layout
+    (io/Archive.cc, io/GridDescriptor.cc, tree/LeafNode.h semantics) —
+    INDEPENDENT of this module's writer, so reader/writer can't share an
+    omission: instance-parent string + unconditional stream positions in
+    the descriptor, UniformScaleMap transform, active-mask+zip compressed
+    buffers, and the value mask re-stored before every leaf buffer."""
+    import io as _io
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(42)
+    value_mask = rng.random(512) < 0.35
+    active_vals = (rng.random(int(value_mask.sum()), dtype=np.float32) + 0.1).astype(
+        "<f4"
+    )
+    voxel_size = 0.73
+
+    def zip_values(vals: np.ndarray) -> bytes:
+        payload = vals.astype("<f4").tobytes()
+        z = zlib.compress(payload)
+        if len(z) < len(payload):
+            return struct.pack("<q", len(z)) + z
+        return struct.pack("<q", -len(payload)) + payload
+
+    buf = _io.BytesIO()
+    w = buf.write
+    w(struct.pack("<q", vdb.MAGIC))
+    w(struct.pack("<I", 224))
+    w(struct.pack("<II", 10, 0))  # library version
+    w(struct.pack("<b", 1))  # offsets valid
+    w(b"d2f12a60-a0a2-11ee-8c90-0242ac120002"[:36])  # 36-char ascii uuid
+    # Archive metamap with one string entry (real files carry "creator").
+    w(struct.pack("<I", 1))
+    _ws(w, "creator")
+    _ws(w, "string")
+    creator = b"openvdb 10.0.1"
+    w(struct.pack("<I", len(creator)))
+    w(creator)
+    w(struct.pack("<I", 1))  # grid count
+
+    # GridDescriptor::writeHeader + writeStreamPos.
+    _ws(w, "density")
+    _ws(w, "Tree_float_5_4_3")
+    _ws(w, "")  # instance parent (written since file version 216)
+    pos_at = buf.tell()
+    w(struct.pack("<qqq", 0, 0, 0))  # patched below
+    grid_pos = buf.tell()
+    w(struct.pack("<I", vdb.COMPRESS_ZIP | vdb.COMPRESS_ACTIVE_MASK))
+    # Grid metamap ("class" like real archives).
+    w(struct.pack("<I", 1))
+    _ws(w, "class")
+    _ws(w, "string")
+    cls = b"fog volume"
+    w(struct.pack("<I", len(cls)))
+    w(cls)
+    # Transform: UniformScaleMap = 5 Vec3d, scale values first
+    # (math/Maps.h ScaleMap::write order).
+    _ws(w, "UniformScaleMap")
+    inv = 1.0 / voxel_size
+    vecs = np.array(
+        [
+            [voxel_size] * 3,  # mScaleValues
+            [voxel_size] * 3,  # mVoxelSize
+            [inv] * 3,  # mScaleValuesInverse
+            [inv * inv] * 3,  # mInvScaleSqr
+            [0.5 * inv] * 3,  # mInvTwiceScale
+        ],
+        dtype="<f8",
+    )
+    w(vecs.tobytes())
+    # Tree topology (Tree::writeTopology): one root child at (0,0,0),
+    # one lower internal, one leaf at the origin.
+    w(struct.pack("<I", 1))  # buffer count
+    w(struct.pack("<f", 0.0))  # background
+    w(struct.pack("<I", 0))  # root tiles
+    w(struct.pack("<I", 1))  # root children
+    w(struct.pack("<iii", 0, 0, 0))
+
+    def write_internal_header(n_bits, child_slot):
+        child_mask = np.zeros(n_bits, bool)
+        child_mask[child_slot] = True
+        w(np.packbits(child_mask, bitorder="little").tobytes())
+        w(np.packbits(np.zeros(n_bits, bool), bitorder="little").tobytes())
+        # readCompressedValues: metadata byte, then zipped values for the
+        # ACTIVE slots only (none here).
+        w(struct.pack("<b", vdb.NO_MASK_OR_INACTIVE_VALS))
+        w(zip_values(np.zeros(0, np.float32)))
+
+    write_internal_header(32**3, 0)  # upper internal, child in slot 0
+    write_internal_header(16**3, 0)  # lower internal, leaf in slot 0
+    w(np.packbits(value_mask, bitorder="little").tobytes())  # leaf topology
+
+    # Leaf buffers (Tree::writeBuffers → LeafNode::writeBuffers): the value
+    # mask is RE-STORED, then the compressed active values.
+    block_pos = buf.tell()
+    w(np.packbits(value_mask, bitorder="little").tobytes())
+    w(struct.pack("<b", vdb.NO_MASK_OR_INACTIVE_VALS))
+    w(zip_values(active_vals))
+
+    end_pos = buf.tell()
+    buf.seek(pos_at)
+    w(struct.pack("<qqq", grid_pos, block_pos, end_pos))
+    path = str(tmp_path / "openvdb_style.vdb")
+    open(path, "wb").write(buf.getvalue())
+
+    grids = vdb.read_vdb(path)
+    assert len(grids) == 1
+    g = grids[0]
+    assert g.name == "density"
+    assert g.voxel_size == pytest.approx(voxel_size)
+    assert g.metadata.get("class") == "fog volume"
+    assert g.dense.shape == (8, 8, 8)
+    # Leaf storage is x-major: values[(x<<6)|(y<<3)|z] → dense[z, y, x].
+    expected = np.zeros(512, np.float32)
+    expected[value_mask] = active_vals
+    expected = expected.reshape(8, 8, 8).transpose(2, 1, 0)
+    np.testing.assert_array_equal(g.dense, expected)
 
 
 def test_masked_value_compression_read(tmp_path):
