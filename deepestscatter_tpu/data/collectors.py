@@ -20,16 +20,18 @@ Capability parity with the reference's collector SceneItems (SURVEY.md §3.2):
 
 TPU-native shape: every stage is ONE batched jit program over the scene's
 2048-sample slice — no per-sample launches, no GPU↔CPU ping-pong.  The
-rejection loop is a masked ``lax.while_loop``; the radiance estimator folds
-``experiments_per_launch`` experiments into the batch per update (the
-reference's 10x-replica trick becomes a Welford batch-merge).  RNG is
-counter-based on (seed, sample id, draw site): restartable and
+rejection loop is a masked ``lax.while_loop``; the radiance estimator keeps
+the reference's host-driven reschedule/densify loop (converged points leave
+the schedule, the thread budget re-divides among survivors) around a jitted
+update that replica-merges with one Welford moments reduction.  RNG is
+counter-based on (seed, sample id, experiment index): restartable and
 shard-stable.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import NamedTuple, Tuple
 
@@ -120,14 +122,87 @@ def generate_scatter_samples(
 
 
 class RadianceEstimate(NamedTuple):
-    radiance: jnp.ndarray  # [n] mean multi-scatter radiance (red channel)
-    is_converged: jnp.ndarray  # [n] bool
-    experiments: jnp.ndarray  # [n] experiment counts
+    radiance: np.ndarray  # [n] mean multi-scatter radiance (red channel)
+    is_converged: np.ndarray  # [n] bool
+    experiments: np.ndarray  # [n] experiment counts
+    #: Per-update (n_active, replicas) — the reschedule/densify record
+    #: (the reference prints "converged: k of n" each update).
+    schedule: Tuple[Tuple[int, int], ...] = ()
 
 
 def _radiance_static(static: SceneStatic) -> SceneStatic:
     """Labels are multi-scatter-only radiance (Tasks.h collect mode)."""
     return dataclasses.replace(static, mode=RenderMode.SUN_MULTIPLE_SCATTER)
+
+
+def _bucket_size(n_active: int) -> int:
+    """Padded active-set size (power of two ≥ 8) so rescheduling compiles
+    one program per bucket, not per active count."""
+    b = 8
+    while b < n_active:
+        b *= 2
+    return b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("static", "replicas", "launches")
+)
+def _radiance_update(
+    params: SceneParams,
+    static: SceneStatic,
+    entry: jnp.ndarray,  # [bucket, 3] box-local positions
+    direction: jnp.ndarray,  # [bucket, 3]
+    rids: jnp.ndarray,  # [bucket] uint32 global sample ids
+    base_count: jnp.ndarray,  # [bucket] f32 experiments already folded
+    seed: jnp.ndarray,  # uint32 scalar
+    *,
+    replicas: int,
+    launches: int,
+) -> welford_ops.Welford:
+    """One collector update: ``launches`` experiments on each of
+    ``replicas`` task replicas per point (the reference's 100 launches over
+    taskRepeatCount-replicated tasks, RadianceCollector.cpp:88-96), returning
+    the replica-merged Welford contribution of the FRESH experiments only.
+
+    The RNG stream is keyed by (seed, sample id, global experiment index =
+    base_count + replica*launches + launch) — unique across updates and
+    independent of how replicas were densified, so results are restartable
+    and schedule-stable.
+    """
+    bucket = entry.shape[0]
+    o = jnp.tile(entry, (replicas, 1))
+    d = jnp.tile(direction, (replicas, 1))
+    ids_t = jnp.tile(rids, replicas)
+    rep = jnp.repeat(jnp.arange(replicas, dtype=jnp.uint32), bucket)
+    base = jnp.tile(base_count.astype(jnp.uint32), replicas) + rep * jnp.uint32(
+        launches
+    )
+
+    def launch(li, wf):
+        exp_idx = base + jnp.uint32(li)
+        seeds = seed ^ (exp_idx * jnp.uint32(0x9E3779B1))
+        radiance = pathtracer.trace_hit_radiance(
+            params,
+            static,
+            o,
+            d,
+            jnp.ones((bucket * replicas,), bool),
+            seeds,
+            ids_t,
+        )[:, 0]
+        return welford_ops.update(wf, radiance)
+
+    wf = jax.lax.fori_loop(
+        0, launches, launch, welford_ops.Welford.zeros((bucket * replicas,))
+    )
+    # Replica merge = the reference's PointRadianceTask operator+= fold
+    # (PointRadianceTask.h:54-68), in one moments reduction.
+    c, s1, s2 = welford_ops.to_moments(wf)
+    return welford_ops.from_moments(
+        c.reshape(replicas, bucket).sum(0),
+        s1.reshape(replicas, bucket).sum(0),
+        s2.reshape(replicas, bucket).sum(0),
+    )
 
 
 def estimate_point_radiance(
@@ -140,69 +215,92 @@ def estimate_point_radiance(
     max_updates: int = 200,
     verbose: bool = False,
 ) -> RadianceEstimate:
-    """Monte-Carlo ground-truth labels with CI-gated convergence.
+    """Monte-Carlo ground-truth labels with CI-gated convergence and the
+    reference's reschedule/densify loop (RadianceCollector.cpp:105-141,178):
 
-    ``positions`` world-centered (as stored by the sample generator).  Each
-    update folds ``replicas`` experiments per point into the Welford state
-    (the reference replicates tasks to fill 20,480 threads and merges,
-    RadianceCollector.cpp:17,176-192 — here the merge is a batch reduce).
+    - after each update, converged points leave the schedule FOREVER (their
+      experiment counts freeze — no re-tracing of done work);
+    - the full thread budget (``cfg.max_threads``, 20,480 by default) is
+      re-divided among the survivors (``taskRepeatCount = budget / todo``),
+      so stragglers — in particular black samples, which need
+      > ``black_min_experiments`` (1e5) experiments before they may pass
+      (RadianceCollector.cpp:112-118) — receive densifying replicas and
+      actually converge under default gates.
+
+    ``positions`` are world-centered (as stored by the sample generator).
+    Persistent Welford state lives on host (numpy); each device update
+    returns only the fresh-experiment contribution for the active set,
+    padded to a power-of-two bucket so recompiles are O(log n), not O(n).
     """
     n = positions.shape[0]
     rstatic = _radiance_static(static)
-    replicas = max(1, cfg.max_threads // max(n, 1))
-    entry = positions + 0.5 * params.bbox_size
-    ids = jnp.arange(n, dtype=jnp.uint32)
+    entry = np.asarray(positions + 0.5 * params.bbox_size, np.float32)
+    dirs = np.asarray(directions, np.float32)
 
-    @jax.jit
-    def update(state: welford_ops.Welford, round_id):
-        o = jnp.tile(entry, (replicas, 1))
-        d = jnp.tile(directions, (replicas, 1))
-        rids = jnp.tile(ids, replicas)
-        # Experiment-unique RNG stream: fold (round, replica) into the seed.
-        rep = jnp.repeat(jnp.arange(replicas, dtype=jnp.uint32), n)
-        seeds = (
-            jnp.uint32(seed)
-            ^ ((round_id.astype(jnp.uint32) * replicas + rep) * jnp.uint32(0x9E3779B1))
-        )
-        radiance = pathtracer.trace_hit_radiance(
+    mean = np.zeros(n, np.float32)
+    m2 = np.zeros(n, np.float32)
+    count = np.zeros(n, np.float32)
+    converged = np.zeros(n, bool)
+    eps = np.finfo(np.float32).eps
+
+    active = np.arange(n)
+    seed_arr = jnp.uint32(seed)
+    schedule = []
+    for r in range(max_updates):
+        if active.size == 0:
+            break
+        bucket = _bucket_size(active.size)
+        replicas = max(1, cfg.max_threads // bucket)
+        schedule.append((int(active.size), replicas))
+        # Pad with duplicates of the first survivor; padded slots are
+        # traced but their contributions are discarded below.
+        idx = active
+        if bucket > active.size:
+            idx = np.concatenate(
+                [active, np.full(bucket - active.size, active[0])]
+            )
+        contrib = _radiance_update(
             params,
             rstatic,
-            o,
-            d,
-            jnp.ones((n * replicas,), bool),
-            seeds,
-            rids,
-        )[:, 0].reshape(replicas, n)
-        batch_mean = radiance.mean(axis=0)
-        batch_m2 = ((radiance - batch_mean) ** 2).sum(axis=0)
-        merged = welford_ops.merge(
-            state,
-            welford_ops.Welford(
-                batch_mean, batch_m2, jnp.full((n,), float(replicas))
-            ),
+            jnp.asarray(entry[idx]),
+            jnp.asarray(dirs[idx]),
+            jnp.asarray(idx.astype(np.uint32)),
+            jnp.asarray(count[idx]),
+            seed_arr,
+            replicas=replicas,
+            launches=cfg.launches_per_update,
         )
-        ci = welford_ops.confidence_interval_95(merged)
-        rel_ok = ci / (merged.mean + jnp.finfo(jnp.float32).eps) < cfg.rel_tol
-        abs_ok = ci < cfg.abs_tol
-        converged = rel_ok | abs_ok
-        # Zero-radiance points only count once they survive the experiment
-        # budget (RadianceCollector.cpp:112-118).
-        black = merged.mean <= 0.0
-        converged = jnp.where(
-            black, merged.count > cfg.black_min_experiments, converged
-        )
-        return merged, converged
+        k = active.size
+        c_mean = np.asarray(contrib.mean)[:k]
+        c_m2 = np.asarray(contrib.m2)[:k]
+        c_count = np.asarray(contrib.count)[:k]
 
-    state = welford_ops.Welford.zeros((n,))
-    converged = jnp.zeros((n,), bool)
-    for r in range(max_updates):
-        state, converged = update(state, jnp.int32(r))
-        n_left = int((~converged).sum())
+        # Host-side Welford merge into the persistent per-point state.
+        tot = count[active] + c_count
+        safe = np.maximum(tot, 1.0)
+        delta = c_mean - mean[active]
+        mean[active] += delta * (c_count / safe)
+        m2[active] += c_m2 + delta**2 * (count[active] * c_count / safe)
+        count[active] = tot
+
+        # Convergence gates (RadianceCollector.cpp:112-118): rel CI < 2e-2
+        # or abs CI < 1e-4; black samples instead require surviving the
+        # experiment budget.
+        nsafe = np.maximum(count[active], 1.0)
+        ci = 1.96 * np.sqrt(m2[active] / nsafe) / np.sqrt(nsafe)
+        conv = (ci / (mean[active] + eps) < cfg.rel_tol) | (ci < cfg.abs_tol)
+        black = mean[active] < eps
+        conv = np.where(
+            black, count[active] > cfg.black_min_experiments, conv
+        )
+        converged[active] = conv
+        active = active[~conv]
         if verbose:
-            print(f"radiance update {r}: {n_left} unconverged")
-        if n_left == 0:
-            break
-    return RadianceEstimate(state.mean, converged, state.count)
+            print(
+                f"radiance update {r}: {active.size} unconverged "
+                f"(replicas {replicas} x launches {cfg.launches_per_update})"
+            )
+    return RadianceEstimate(mean, converged, count, tuple(schedule))
 
 
 def collect_disney_descriptors(

@@ -91,8 +91,8 @@ def filled_store(seeded_store, base_cfg):
 
     # Stage 2: radiance labels (loose gates for CPU speed).
     cfg = PointRadianceConfig(
-        max_threads=BATCH * 8, rel_tol=0.5, abs_tol=0.05,
-        black_min_experiments=16,
+        max_threads=BATCH * 8, launches_per_update=2, rel_tol=0.5,
+        abs_tol=0.05, black_min_experiments=16,
     )
     n = tasks.collect(
         store, "Result", tasks.CollectMode.OVERWRITE, base=base_cfg,
