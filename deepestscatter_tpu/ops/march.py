@@ -43,6 +43,37 @@ def sample_inscatter(params: SceneParams, pos: jnp.ndarray) -> jnp.ndarray:
     return grid_ops.sample_trilinear(params.inscatter, u)
 
 
+def empty_cell_exit_steps(
+    cell: jnp.ndarray,
+    pos: jnp.ndarray,
+    direction: jnp.ndarray,
+    dims_f: jnp.ndarray,
+    bbox_size: jnp.ndarray,
+    step,
+    max_jump: float = 64.0,
+) -> jnp.ndarray:
+    """Whole march steps a ray can jump through the CLOSED cell it is in
+    before reaching the cell's exit face — exact empty-space skipping on the
+    step lattice (all 8 density corners zero ⇒ trilinear density ≡ 0 across
+    the closed cell, so skipped steps contribute nothing).
+
+    ``cell`` [N, 3] integer corner cell (grid_ops.packed_cell order x,y,z),
+    ``pos`` [N, 3] the post-step position, ``dims_f`` [3] grid dims (x,y,z)
+    as floats.  Shared by the standalone march and the path-tracing loop
+    (previously duplicated; reference analog: none — the reference relies
+    on hardware texture caching instead).
+    """
+    f = pos.dtype
+    cellf = cell.astype(f)
+    lo = (cellf + 0.5) / dims_f * bbox_size
+    hi = (cellf + 1.5) / dims_f * bbox_size
+    bound = jnp.where(direction > 0.0, hi, lo)
+    safe_dir = jnp.where(jnp.abs(direction) > 1e-9, direction, jnp.asarray(1e-9, f))
+    t_ax = jnp.where(jnp.abs(direction) > 1e-9, (bound - pos) / safe_dir, jnp.inf)
+    t_exit = jnp.clip(jnp.min(t_ax, axis=-1), 0.0, None)
+    return jnp.minimum(jnp.floor(t_exit / step), jnp.asarray(max_jump, f))
+
+
 def next_scattering_event(
     params: SceneParams,
     static: SceneStatic,
@@ -117,23 +148,12 @@ def next_scattering_event(
         if stop_at_scatter:
             new_active = new_active & (~scattered)
         if static.march_empty_skip and skip_k < 2:
-            # Exact empty-cell exit jump on the step lattice (all 8 corners
-            # zero ⇒ density ≡ 0 across the closed cell) — free empty-space
-            # skipping out of the row we already fetched, replacing the
-            # occupancy-grid gather.
+            # Free empty-space skipping out of the row we already fetched,
+            # replacing the occupancy-grid gather.
             zero_cell = dens_rows.max(axis=-1) <= 0.0
-            cellf = cell.astype(f32)
-            lo = (cellf + 0.5) / dims_f * params.bbox_size
-            hi = (cellf + 1.5) / dims_f * params.bbox_size
-            bound = jnp.where(direction > 0.0, hi, lo)
-            safe_dir = jnp.where(
-                jnp.abs(direction) > 1e-9, direction, jnp.float32(1e-9)
+            extra = empty_cell_exit_steps(
+                cell, new_pos, direction, dims_f, params.bbox_size, step
             )
-            t_ax = jnp.where(
-                jnp.abs(direction) > 1e-9, (bound - new_pos) / safe_dir, jnp.inf
-            )
-            t_exit = jnp.clip(jnp.min(t_ax, axis=-1), 0.0, None)
-            extra = jnp.minimum(jnp.floor(t_exit / step), 64.0)
             advance = jnp.where(zero_cell & new_active, extra, 0.0)
             new_pos = new_pos + direction * (advance * step)[:, None]
         return i + 1, new_pos, trans_new, scattered, scatter_pos, new_active

@@ -38,10 +38,30 @@ def make_mesh(
     return Mesh(devs.reshape(axis_sizes), tuple(axis_names))
 
 
-def initialize_distributed(**kwargs) -> None:
-    """Multi-host bring-up (coordinator discovery via the standard TPU env);
-    safe no-op when already initialized or single-process."""
+def initialize_distributed(**kwargs) -> bool:
+    """Multi-host bring-up (``jax.distributed.initialize``; coordinator
+    discovery via the standard TPU env, or explicit
+    ``coordinator_address``/``num_processes``/``process_id`` kwargs).
+
+    Returns True when the distributed runtime is (now or already) up.
+    Explicitly-requested multi-process bring-up FAILS LOUDLY: the only
+    swallowed case is the bare single-process call, where falling back to
+    local-only operation is the correct behavior.  (Round 1 swallowed every
+    error, masking genuine bring-up failures as silent single-process
+    runs.)
+    """
+    explicit = bool(kwargs)
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+        return True
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return True
+        if explicit:
+            raise
+        return False
+    except ValueError:
+        if explicit:
+            raise
+        # Bare call without coordinator env: single-process operation.
+        return False

@@ -97,10 +97,26 @@ def intersect_box(
     return hit, t_hit
 
 
+def sky_gradient(params: SceneParams, directions: jnp.ndarray) -> jnp.ndarray:
+    """Ground↔sky lerp on direction.y (cloud.cuh sampleSky:124-132)."""
+    t = jnp.clip((directions[..., 1] + 0.5) / 1.5, 0.0, 1.0)[..., None]
+    return params.ground_intensity * (1.0 - t) + params.sky_intensity * t
+
+
+def sun_disc(
+    params: SceneParams, static: SceneStatic, directions: jnp.ndarray
+) -> jnp.ndarray:
+    """Full sun radiance inside the disc, else 0 (cloud.cuh
+    sampleSun:134-144)."""
+    cos_light = (-params.light_dir * directions).sum(axis=-1)
+    in_sun = cos_light > static.sun_cos_half_angle
+    return jnp.where(in_sun[..., None], params.light_radiance, 0.0)
+
+
 def miss_radiance(params: SceneParams, static: SceneStatic, directions: jnp.ndarray) -> jnp.ndarray:
     """Sun disc else sky gradient (pathTracingCamera.cu:31-51)."""
     cos_light = (-params.light_dir * directions).sum(axis=-1)
     in_sun = cos_light > static.sun_cos_half_angle
-    t = jnp.clip((directions[..., 1] + 0.5) / 1.5, 0.0, 1.0)[..., None]
-    sky = params.ground_intensity * (1.0 - t) + params.sky_intensity * t
-    return jnp.where(in_sun[..., None], params.light_radiance, sky)
+    return jnp.where(
+        in_sun[..., None], params.light_radiance, sky_gradient(params, directions)
+    )

@@ -109,6 +109,27 @@ def _scatter_loop(
     dm = jnp.float32(static.density_multiplier)
     tiny = jnp.float32(1e-30)
 
+    # Sky/sun sampling (the reference's disabled code path,
+    # cloudRadianceMaterials.cu:20-27,36-46; all-scatter mode only).  The
+    # reference marches every bounce to the box exit and adds
+    # L_sky(dir_d) * T_exit(x_d, dir_d) as per-vertex NEE (plus the
+    # unattenuated sun disc at depth 1).  Here the identical expectation
+    # comes from the exit-indicator estimator — when the free flight
+    # carries the ray out of the box, add weight * (sky gradient + sun
+    # disc if no scatter happened yet): P(exit | x_d, dir_d) IS
+    # T_exit(x_d, dir_d), so no second march is needed.
+    use_sky = (
+        static.sample_sky and static.mode is RenderMode.SUN_AND_SKY_ALL_SCATTER
+    )
+
+    def sky_exit_radiance(direction, depth, weight):
+        add = camera_ops.sky_gradient(params, direction) + jnp.where(
+            (depth == 1)[:, None],
+            camera_ops.sun_disc(params, static, direction),
+            0.0,
+        )
+        return add * weight[:, None]
+
     # Free-flight threshold for the first segment (counter depth*4 + 0,
     # matching the per-bounce draw sites of the nested formulation).
     od0 = rng_ops.hash_uniform(seed, ray_ids, start_depth * _DRAWS_PER_BOUNCE)
@@ -233,18 +254,9 @@ def _scatter_loop(
         # Exact empty-cell exit jump, staying on the step lattice.
         if static.march_empty_skip:
             zero_cell = dens_rows.max(axis=-1) <= 0.0
-            cellf = cell.astype(f32)
-            lo = (cellf + 0.5) / dims_f * params.bbox_size
-            hi = (cellf + 1.5) / dims_f * params.bbox_size
-            bound = jnp.where(direction > 0.0, hi, lo)
-            safe_dir = jnp.where(
-                jnp.abs(direction) > 1e-9, direction, jnp.float32(1e-9)
+            extra = march_ops.empty_cell_exit_steps(
+                cell, new_pos, direction, dims_f, params.bbox_size, step
             )
-            t_ax = jnp.where(
-                jnp.abs(direction) > 1e-9, (bound - new_pos) / safe_dir, jnp.inf
-            )
-            t_exit = jnp.clip(jnp.min(t_ax, axis=-1), 0.0, None)
-            extra = jnp.minimum(jnp.floor(t_exit / step), 64.0)
             advance = jnp.where(zero_cell & alive & ~crossed, extra, 0.0)
             pos_after = new_pos + direction * (advance * step)[:, None]
         else:
@@ -256,6 +268,13 @@ def _scatter_loop(
         od_c = jnp.where(crossed_ok, od_next, od)
 
         exited = alive & ok & (~crossed) & (~is_in_box(pos_after, params.bbox_size))
+        if use_sky:
+            sky_exit = exited | (crossed_ok & ~in_box_scatter)
+            radiance = radiance + jnp.where(
+                sky_exit[:, None],
+                sky_exit_radiance(direction, depth, weight),
+                0.0,
+            )
         dead = (
             exited
             | (crossed_ok & ~in_box_scatter)
@@ -353,6 +372,13 @@ def _scatter_loop(
         od = jnp.where(crossed, od_next, od)
 
         exited = alive & (~crossed) & (~is_in_box(new_pos, params.bbox_size))
+        if use_sky:
+            sky_exit = exited | (crossed & ~in_box_scatter)
+            radiance = radiance + jnp.where(
+                sky_exit[:, None],
+                sky_exit_radiance(direction, depth, weight),
+                0.0,
+            )
         alive = (
             alive
             & (~exited)

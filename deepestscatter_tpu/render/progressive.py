@@ -31,6 +31,17 @@ from . import camera as camera_ops
 from . import pathtracer
 
 
+#: Loud sentinel painted over non-finite radiance — the reference's OptiX
+#: exception program color (Camera.cpp:35, progressive.cu:36-39): broken
+#: pixels must be impossible to miss, not silently averaged away.
+ERROR_COLOR = 123123123.123
+
+
+def paint_error_pixels(sample: jnp.ndarray) -> jnp.ndarray:
+    """Replace NaN/Inf radiance with ``ERROR_COLOR`` (fail-loud guard)."""
+    return jnp.where(jnp.isfinite(sample), sample, jnp.float32(ERROR_COLOR))
+
+
 class ProgressiveState(NamedTuple):
     mean: jnp.ndarray  # [N, 3] running radiance mean
     m2: jnp.ndarray  # [N, 3] running sum of squared deviations
@@ -86,6 +97,7 @@ def render_tick(
     sample = pathtracer.render_subframe(
         params, static, o, d, seed_base, subframe, ray_ids
     ).reshape(s, n, 3)
+    sample = paint_error_pixels(sample)
     batch_mean = sample.mean(axis=0)
     batch_m2 = ((sample - batch_mean) ** 2).sum(axis=0)
     merged = welford_ops.merge(

@@ -74,6 +74,10 @@ class SceneStatic:
     #: corners zero ⇒ trilinear density ≡ 0 over the closed cell).  Test
     #: hook; always a win when on.
     march_empty_skip: bool = True
+    #: Sample sky/sun light along paths in the all-scatter mode — the
+    #: reference's disabled code path (cloudRadianceMaterials.cu:20-27,
+    #: 36-46); see pathtracer._scatter_loop for the estimator notes.
+    sample_sky: bool = False
 
     @property
     def max_march_steps(self) -> int:
@@ -176,6 +180,7 @@ def build_scene(
         occupancy_block=occ_block,
         occupancy_skip_steps=skip_steps,
         march_window=cfg.rendering.march_window,
+        sample_sky=cfg.rendering.sample_sky,
     )
 
     if inscatter is None:
