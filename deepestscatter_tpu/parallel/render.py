@@ -32,7 +32,7 @@ from ..config import ProgressiveConfig, SceneConfig
 from ..ops import welford as welford_ops
 from ..render import camera as camera_ops
 from ..render import pathtracer
-from ..render.progressive import ProgressiveState, init_state
+from ..render.progressive import ProgressiveState, init_state, paint_error_pixels
 from ..scene import SceneParams, SceneStatic
 
 
@@ -61,6 +61,7 @@ def make_sharded_tick(
         sample = pathtracer.render_subframe(
             params, static, o, d, seed_base, subframe, ids
         ).reshape(s, n, 3)
+        sample = paint_error_pixels(sample)
         batch_mean = sample.mean(axis=0)
         batch_m2 = ((sample - batch_mean) ** 2).sum(axis=0)
         merged = welford_ops.merge(
