@@ -104,13 +104,12 @@ class DisneyDataset(_Base):
         super().__init__(store, "DisneyDescriptor", batch_size)
 
     def _gather(self, idx: np.ndarray):
-        # Contiguous reads beat point lookups; idx is sorted, so read the
-        # covering range once and slice (records are fixed-size rows).
-        lo, hi = int(idx[0]), int(idx[-1]) + 1
-        rel = idx - lo
-        grids = self.store.table("DisneyDescriptor").read(lo, hi - lo)["grid"][rel]
-        samples = self.store.table("ScatterSample").read(lo, hi - lo)[rel]
-        results = self.store.table("Result").read(lo, hi - lo)[rel]
+        # Native point gathers: O(batch) bytes regardless of table size
+        # (idx arrives sorted for locality).  A covering-range read is
+        # O(span) ≈ O(table) for a shuffled batch over a 15M-record table.
+        grids = self.store.table("DisneyDescriptor").gather(idx)["grid"]
+        samples = self.store.table("ScatterSample").gather(idx)
+        results = self.store.table("Result").gather(idx)
         light = self._scene_light(samples["scene_setup_id"])
         view = samples["view_direction"].astype(np.float32)
         omega = _omega(light, view)
@@ -141,12 +140,10 @@ class BakedDataset(_Base):
         self.realtime_layers = realtime_layers
 
     def _gather(self, idx: np.ndarray):
-        lo, hi = int(idx[0]), int(idx[-1]) + 1
-        rel = idx - lo
-        sets = self.store.table("BakedInterpolationSet").read(lo, hi - lo)[rel]
-        disney = self.store.table("DisneyDescriptor").read(lo, hi - lo)["grid"][rel]
-        samples = self.store.table("ScatterSample").read(lo, hi - lo)[rel]
-        results = self.store.table("Result").read(lo, hi - lo)[rel]
+        sets = self.store.table("BakedInterpolationSet").gather(idx)
+        disney = self.store.table("DisneyDescriptor").gather(idx)["grid"]
+        samples = self.store.table("ScatterSample").gather(idx)
+        results = self.store.table("Result").gather(idx)
         light = self._scene_light(samples["scene_setup_id"])
         view = samples["view_direction"].astype(np.float32)
         n = len(idx)

@@ -32,7 +32,11 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "recordstore.cpp")
+    stale = os.path.exists(_LIB_PATH) and os.path.getmtime(
+        _LIB_PATH
+    ) < os.path.getmtime(src)
+    if not os.path.exists(_LIB_PATH) or stale:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.rs_open.restype = ctypes.c_void_p
@@ -52,6 +56,13 @@ def _load_lib():
     lib.rs_read.argtypes = [
         ctypes.c_void_p,
         ctypes.c_uint64,
+        ctypes.c_void_p,
+        ctypes.c_uint64,
+    ]
+    lib.rs_gather.restype = ctypes.c_int
+    lib.rs_gather.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_void_p,
         ctypes.c_void_p,
         ctypes.c_uint64,
     ]
@@ -95,6 +106,24 @@ class Table:
             self._handle, start_id, out.ctypes.data_as(ctypes.c_void_p), n
         )
         return out[: int(got)]
+
+    def gather(self, ids: np.ndarray) -> np.ndarray:
+        """Point-gather records by id — O(len(ids)) regardless of table
+        size (the shuffled-batch path; rs_gather in recordstore.cpp).
+        Raises on any id beyond the published count."""
+        ids = np.ascontiguousarray(ids, dtype=np.uint64)
+        out = np.empty(len(ids), self.dtype)
+        err = self._lib.rs_gather(
+            self._handle,
+            ids.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+            len(ids),
+        )
+        if err != 0:
+            raise IndexError(
+                f"rs_gather: id out of range (count={self.count()}) in {self.path}"
+            )
+        return out
 
     def get_record(self, record_id: int) -> np.void:
         got = self.read(record_id, 1)

@@ -192,6 +192,25 @@ uint64_t rs_read(void* handle, uint64_t start, void* out, uint64_t n) {
   return take;
 }
 
+// Point-gather `n` records by id into `out` (the shuffled-batch read path:
+// a random training batch must cost O(batch) records, not a covering-range
+// read that approaches O(table) as the table grows).  All ids must be below
+// the published count.  Returns 0 on success, -EINVAL on any out-of-range
+// id (nothing is partially defined in `out` that the caller may trust).
+int rs_gather(void* handle, const uint64_t* ids, void* out, uint64_t n) {
+  Table* t = static_cast<Table*>(handle);
+  Header* h = t->header();
+  const uint64_t count = h->count.load(std::memory_order_acquire);
+  const uint64_t rs = h->record_size;
+  const uint8_t* base = t->records();
+  uint8_t* dst = static_cast<uint8_t*>(out);
+  for (uint64_t i = 0; i < n; ++i) {
+    if (ids[i] >= count) return -EINVAL;
+    std::memcpy(dst + i * rs, base + ids[i] * rs, rs);
+  }
+  return 0;
+}
+
 // Drop all records (the reference demands interactive confirmation,
 // Dataset.h:110-142 — enforced at the Python layer here).
 int rs_drop(void* handle) {
