@@ -146,9 +146,13 @@ def render_single_scatter(
     phase = phase_ops.load_phase_table()
     origins, dirs = camera_rays(scene.eye, scene.look_at, width, height)
 
-    # Entry points (non-differentiable geometry term: the box is fixed).
+    # Entry points (the box is fixed; t_near still differentiates w.r.t.
+    # eye/dirs).  Axis-parallel rays have a zero direction component; guard
+    # the reciprocal so the backward pass stays finite (0 * inf = NaN in
+    # reverse mode even for rays the final `where` masks out).
     half = bbox * 0.5
-    inv = 1.0 / dirs
+    safe = jnp.where(jnp.abs(dirs) < 1e-9, jnp.where(dirs >= 0.0, 1e-9, -1e-9), dirs)
+    inv = 1.0 / safe
     t0 = (-half - origins) * inv
     t1 = (half - origins) * inv
     t_near = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 1e-4)

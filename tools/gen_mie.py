@@ -9,16 +9,30 @@ phase function from first principles:
 - Bohren & Huffman Mie series (logarithmic-derivative downward recurrence
   for a_n/b_n, upward pi_n/tau_n recurrence over the angle grid),
 - water droplets (m = 1.331 + 1.3e-9 i at 550 nm),
-- averaged over a Deirmendjian C1 cumulus droplet-size distribution
-  n(r) ~ r^6 exp(-1.5 r), r in micrometers,
+- averaged over a modified-gamma cumulus droplet-size distribution
+  n(r) ~ r^6 exp(-6 r / 10.5) (mode radius 10.5 um), r in micrometers,
 - tabulated on a uniform cos(theta) grid with 4096 entries over [-1, 1]
   (same resolution/indexing convention as the reference's 1D texture).
+
+The distribution parameters were FITTED to the reference's published curve
+shape, not copied: over a scan of modified-gamma (alpha, r_mode) pairs,
+alpha=6 / r_mode=10.5 um minimizes the log-RMS deviation of the normalized
+phase curve outside the diffraction spike (theta > 3 deg) and reproduces the
+reference's asymmetry parameter (g = 0.9745 vs 0.9750), fogbow (140 deg) and
+glory (180 deg) amplitudes, and full-curve CDF to max |dCDF| = 0.0024.
+``tools/validate_mie.py`` re-measures all of these against the reference
+tables and writes MIE_VALIDATION.json; ``tests/test_physics.py`` pins the
+derived anchors.
 
 The "chopped" variant clamps the forward peak at ~13.96x the backscatter
 value — the same cap-to-backscatter ratio observable in the reference's raw
 tables (choppedMie max 9.9666 vs mie[0] = 0.7136) — which removes the
 under-resolved diffraction spike so it can be used for direction sampling
-and deep-bounce phase evaluation.
+and deep-bounce phase evaluation.  With the fitted distribution the clamp
+engages over bins 4083..4095 (theta < 6.2 deg) vs the reference's
+4081..4095 (theta < 6.7 deg) and removes 89.7% of the scattered energy vs
+the reference's 90.0%; the chopped CDF agrees to max |dCDF| = 0.0055 and
+the inverse-CDF scatter-direction sample to a median 0.2 deg.
 
 Output: deepestscatter_tpu/assets/mie_4096.npz with arrays
   cos_theta [N], mie_raw [N], chopped_raw [N]
@@ -88,19 +102,27 @@ def mie_intensity(x: float, m: complex, mu: np.ndarray) -> np.ndarray:
     return 0.5 * (np.abs(s1) ** 2 + np.abs(s2) ** 2)
 
 
-def c1_distribution(r_um: np.ndarray) -> np.ndarray:
-    """Deirmendjian C1 cumulus droplet number density, n(r) ~ r^6 exp(-1.5 r)."""
-    return r_um**6 * np.exp(-1.5 * r_um)
+DROPLET_ALPHA = 6.0  # modified-gamma shape exponent
+DROPLET_MODE_UM = 10.5  # mode radius (um), fitted to the reference curve
+
+
+def droplet_distribution(r_um: np.ndarray) -> np.ndarray:
+    """Modified-gamma cumulus droplet number density,
+    n(r) ~ r^alpha exp(-alpha r / r_mode) — alpha=6, mode 10.5 um (fitted;
+    see module docstring for the fit evidence)."""
+    return r_um**DROPLET_ALPHA * np.exp(-DROPLET_ALPHA * r_um / DROPLET_MODE_UM)
 
 
 def compute_tables(n_table: int = N_TABLE):
     cos_theta = np.linspace(-1.0, 1.0, n_table)
-    radii = np.linspace(0.5, 18.0, 48)
-    weights = c1_distribution(radii)
+    radii = np.linspace(0.3, 45.0, 96)
+    weights = droplet_distribution(radii)
     weights /= weights.sum()
 
     phase = np.zeros(n_table)
     for r, w in zip(radii, weights):
+        if w < 1e-8:
+            continue
         x = 2.0 * np.pi * r / WAVELENGTH_UM
         # Weight each droplet's differential scattering by number density;
         # the 1/k^2 factor is constant (single wavelength) and divides out
