@@ -88,6 +88,28 @@ class CloudRendering:
     #: legacy one-phase loop (two grid gathers per step), kept as the
     #: equality oracle for tests.
     march_window: int = 8
+    #: Deferred-scatter march (the round-2 fast path): per march step only
+    #: the fused grid-row gather runs; rays that scatter park as "pending"
+    #: and the per-bounce work (phase evaluation, direction inverse-CDF,
+    #: NEE sun-transmittance — each a gather as expensive as the grid row,
+    #: since TPU gathers are latency-bound per row at ~3 ns regardless of
+    #: table size) resolves in batches once enough rays are pending.
+    #: Identical estimator and RNG draw sites; False falls back to the
+    #: windowed loop.
+    march_deferred: bool = True
+    #: Steps evaluated per fetched grid row (cell-resident substeps): at
+    #: sample_step 1/512 a ray takes ~(grid_res/512)^-1 steps inside one
+    #: cell, and re-gathering the same 16-byte row every step is the
+    #: dominant cost.  0 = auto (derived from steps-per-voxel).
+    march_substeps: int = 0
+    #: Pending share of ALIVE rays that triggers a deferred-scatter resolve
+    #: (tuned on v5e: 0.125-0.25 equivalent; smaller = less lane stalling,
+    #: more resolve passes).
+    march_resolve_frac: float = 0.25
+    #: march_iter calls between resolve checks: the per-iteration alive/
+    #: pending reductions + lax.cond dispatch cost as much as a row gather,
+    #: so checking every other iteration ~doubles throughput (measured).
+    march_check_every: int = 2
     #: Storage dtype for the fused march rows: "float32" or "uint8".
     #: uint8 is the REFERENCE'S semantics (both the density volume and the
     #: baked in-scatter grid are uint8 textures, Resources.cpp:93-96,

@@ -70,6 +70,277 @@ def new_direction(
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
+def _scatter_loop_deferred(
+    params: SceneParams,
+    static: SceneStatic,
+    pos: jnp.ndarray,
+    direction: jnp.ndarray,
+    alive: jnp.ndarray,
+    seed: jnp.ndarray,
+    ray_ids: jnp.ndarray,
+    start_depth: jnp.ndarray,
+    chopped_at_depth1: bool,
+    with_stats: bool = False,
+) -> jnp.ndarray:
+    """Deferred-scatter NEE bounce loop — the round-2 fast path.
+
+    Same estimator and RNG draw sites as ``_scatter_loop`` (below), two
+    scheduling changes driven by the measured TPU cost model (gathers are
+    latency-bound at ~3 ns/row regardless of table size, so the phase-pair
+    and inverse-CDF lookups each cost as much as the grid-row gather):
+
+    1. CELL-RESIDENT SUBSTEPS: one fetched density+inscatter row serves up
+       to ``static.march_substeps`` consecutive march steps while the ray
+       stays inside the fetched cell (at sample step 1/512 a ray spends
+       ~512/grid_res steps per cell, and the legacy loop re-gathered the
+       same 16-byte row every step).  Positions advance incrementally
+       (``pos + dir * step`` per substep), reproducing the one-step-loop
+       float sequence exactly.
+    2. DEFERRED SCATTER RESOLVE: a ray that scatters parks as "pending"
+       (its position already back-corrected to the scatter point) and stops
+       marching; once ``march_resolve_frac`` of the buffer is pending (or
+       no non-pending ray remains) one batched resolve performs the whole
+       per-bounce tail — NEE phase evaluation, sun-transmittance gather,
+       direction inverse-CDF sample, free-flight reset, Russian roulette —
+       whose three gathers then amortize over the bounce instead of
+       burdening every step.
+
+    RNG is keyed by (seed, ray, depth) — draws are scheduled later but take
+    identical values, so images match the legacy oracle to float precision.
+    """
+    n = pos.shape[0]
+    f32 = pos.dtype
+    step = jnp.float32(static.sample_step)
+    dm = jnp.float32(static.density_multiplier)
+    tiny = jnp.float32(1e-30)
+    n_sub = static.march_substeps
+    use_sky = (
+        static.sample_sky and static.mode is RenderMode.SUN_AND_SKY_ALL_SCATTER
+    )
+
+    rows_grid = params.march_rows.reshape(-1, 16)
+    rows_scale = jnp.float32(scene_mod.march_rows_scale(params.march_rows))
+    nz, ny, nx = static.grid_shape
+    dims_f = jnp.asarray([nx, ny, nz], f32)
+
+    def sky_exit_radiance(direction, depth, weight):
+        add = camera_ops.sky_gradient(params, direction) + jnp.where(
+            (depth == 1)[:, None],
+            camera_ops.sun_disc(params, static, direction),
+            0.0,
+        )
+        return add * weight[:, None]
+
+    od0 = rng_ops.hash_uniform(seed, ray_ids, start_depth * _DRAWS_PER_BOUNCE)
+    carry0 = (
+        pos,
+        direction,
+        jnp.ones((n,), f32),
+        od0,
+        jnp.broadcast_to(start_depth, (n,)).astype(jnp.int32),
+        jnp.ones((n,), f32),
+        jnp.zeros((n, 3), f32),
+        alive & is_in_box(pos, params.bbox_size),
+        jnp.zeros((n,), bool),  # pending
+        jnp.asarray(ray_ids, jnp.uint32),
+        jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), (n,)),
+    )
+
+    def march_iter(carry):
+        """ONE row gather + up to ``n_sub`` march steps inside that cell."""
+        (pos, dirn, trans, od, depth, weight, radiance, alive, pending,
+         ray_ids, seed) = carry
+        active = alive & ~pending
+        first = pos + dirn * step
+        cell0, _, ridx0 = grid_ops.packed_cell(
+            first / params.bbox_size, static.grid_shape
+        )
+        rows = jnp.take(rows_grid, ridx0, axis=0, mode="clip").astype(f32)
+        dens_rows = rows[:, :8] * rows_scale
+
+        live = active
+        cur = pos
+        for j in range(n_sub):
+            newp = first if j == 0 else cur + dirn * step
+            cellj, fracj, _ = grid_ops.packed_cell(
+                newp / params.bbox_size, static.grid_shape
+            )
+            ok = live if j == 0 else live & jnp.all(cellj == cell0, axis=-1)
+            density = grid_ops.trilinear_from_rows(dens_rows, fracj) * dm
+            trans_new = jnp.where(ok, trans * jnp.exp(-density * step), trans)
+            crossed = ok & (od > trans_new)
+            back = jnp.log(od / jnp.maximum(trans_new, tiny)) / jnp.maximum(
+                density, jnp.float32(1e-20)
+            )
+            spos = newp - dirn * back[:, None]
+            in_box_s = is_in_box(spos, params.bbox_size)
+            inb = is_in_box(newp, params.bbox_size)
+            exited = ok & ~crossed & ~inb
+            pos = jnp.where(
+                ok[:, None], jnp.where(crossed[:, None], spos, newp), pos
+            )
+            trans = trans_new
+            pending = pending | (crossed & in_box_s)
+            if use_sky:
+                sky_exit = exited | (crossed & ~in_box_s)
+                radiance = radiance + jnp.where(
+                    sky_exit[:, None],
+                    sky_exit_radiance(dirn, depth, weight),
+                    0.0,
+                )
+            alive = alive & ~(exited | (crossed & ~in_box_s))
+            live = ok & ~crossed & inb
+            cur = jnp.where(ok[:, None], newp, cur)
+
+        if static.march_empty_skip:
+            # All 8 density corners zero ⇒ trilinear density ≡ 0 across the
+            # closed cell: jump rays still live in the fetched cell to its
+            # exit face on the step lattice (exact, no bias).
+            zero_cell = dens_rows.max(axis=-1) <= 0.0
+            extra = march_ops.empty_cell_exit_steps(
+                cell0, cur, dirn, dims_f, params.bbox_size, step
+            )
+            advance = jnp.where(zero_cell & live, extra, 0.0)
+            pos = pos + dirn * (advance * step)[:, None]
+        return (pos, dirn, trans, od, depth, weight, radiance, alive,
+                pending, ray_ids, seed)
+
+    def resolve(carry):
+        """Batched per-bounce tail for every pending ray: NEE + direction
+        resample + free-flight reset (the reference's per-scatter work,
+        cloudRadianceMaterials.cu:28-63, batched across rays)."""
+        (pos, dirn, trans, od, depth, weight, radiance, alive, pending,
+         ray_ids, seed) = carry
+        pend = pending & alive
+        chopped = (depth != 1) | jnp.bool_(chopped_at_depth1)
+        cos_light = (-params.light_dir * dirn).sum(axis=-1)
+        p_full, p_chop = phase_ops.eval_phase_pair(params.phase, cos_light)
+        p = jnp.where(chopped, p_chop, p_full)
+        _, frac, ridx = grid_ops.packed_cell(
+            pos / params.bbox_size, static.grid_shape
+        )
+        rows = jnp.take(
+            rows_grid, jnp.where(pend, ridx, 0), axis=0, mode="clip"
+        ).astype(f32)
+        trans_sun = grid_ops.trilinear_from_rows(rows[:, 8:16] * rows_scale, frac)
+        factor = weight * p * static.sun_solid_angle_ratio
+        radiance = radiance + jnp.where(
+            pend[:, None],
+            (factor * trans_sun)[:, None] * params.light_radiance,
+            0.0,
+        )
+        ctr = depth * _DRAWS_PER_BOUNCE
+        u_cdf = rng_ops.hash_uniform(seed, ray_ids, ctr + 1)
+        u_phi = rng_ops.hash_uniform(seed, ray_ids, ctr + 2)
+        nd = new_direction(params, dirn, u_cdf, u_phi)
+        new_depth = jnp.where(pend, depth + 1, depth)
+        od_next = rng_ops.hash_uniform(
+            seed, ray_ids, new_depth * _DRAWS_PER_BOUNCE
+        )
+        dirn = jnp.where(pend[:, None], nd, dirn)
+        trans = jnp.where(pend, 1.0, trans)
+        od = jnp.where(pend, od_next, od)
+        dead = pend & (new_depth >= static.max_depth)
+        if static.rr_start_depth > 0:
+            q = jnp.float32(static.rr_survival)
+            u_rr = rng_ops.hash_uniform(seed, ray_ids, ctr + 3)
+            rr_active = pend & (new_depth >= static.rr_start_depth)
+            killed = rr_active & (u_rr >= q)
+            weight = jnp.where(rr_active & ~killed, weight / q, weight)
+            dead = dead | killed
+        alive = alive & ~dead
+        return (pos, dirn, trans, od, new_depth, weight, radiance, alive,
+                jnp.zeros_like(pending), ray_ids, seed)
+
+    def loop_body(state):
+        i, nres, carry = state
+        if static.march_check_every > 1:
+            carry, _ = jax.lax.scan(
+                lambda c, _: (march_iter(c), None),
+                carry,
+                None,
+                length=static.march_check_every,
+            )
+        else:
+            carry = march_iter(carry)
+        alive, pending = carry[7], carry[8]
+        pend_n = jnp.count_nonzero(pending & alive)
+        alive_n = jnp.count_nonzero(alive)
+        # Resolve when pending rays are a ``march_resolve_frac`` share of
+        # the rays still ALIVE (not of the buffer: late in a phase a small
+        # active tail must not stall a large pending population), or when
+        # nothing but pending rays remains.
+        frac = jnp.float32(static.march_resolve_frac)
+        need = (pend_n.astype(jnp.float32) >= alive_n.astype(jnp.float32) * frac) & (
+            pend_n > 0
+        )
+        carry = jax.lax.cond(need, resolve, lambda c: c, carry)
+        return (
+            i + max(1, static.march_check_every),
+            nres + need.astype(jnp.int32),
+            carry,
+        )
+
+    # Safety cap: unlike the flat loop (whose iterations all march), an
+    # iteration here may only serve OTHER rays while a pending ray stalls,
+    # so the bound is the wavefront one — every bounce round is at most one
+    # full box crossing.  Real termination is "no ray alive"; the cap only
+    # guards runaway loops (the legacy max_total_steps cap truncated
+    # stalled paths and lost their tail radiance).
+    max_iters = (static.max_depth + 1) * (static.max_march_steps + 1)
+
+    def run_phase(i, nres, carry, stop_below):
+        def cond(state):
+            alive = state[2][7]
+            live = jnp.count_nonzero(alive) if stop_below else jnp.any(alive)
+            enough = live >= stop_below if stop_below else live
+            return jnp.logical_and(state[0] < max_iters, enough)
+
+        return jax.lax.while_loop(cond, loop_body, (i, nres, carry))
+
+    def compact(carry, m):
+        alive = carry[7]
+        idx = jnp.nonzero(alive, size=m, fill_value=0)[0]
+        valid = jnp.arange(m, dtype=jnp.int32) < jnp.count_nonzero(alive)
+        small = jax.tree.map(lambda a: a[idx], carry)
+        small = (
+            small[0], small[1], small[2], small[3], small[4], small[5],
+            jnp.zeros((m, 3), f32),  # fresh radiance accumulator
+            small[7] & valid,
+            small[8] & valid,
+            small[9], small[10],
+        )
+        return small, idx, valid
+
+    # Compaction cascade: deeper than the windowed loop's (the deferred
+    # tail — deep-diffusion paths with Russian roulette off — runs
+    # thousands of iterations whose cost is all fixed overhead once the
+    # buffer is small; each /8 level cuts that).
+    levels = []
+    m = n
+    while m >= 8192:
+        m //= 8
+        levels.append(m)
+    levels = levels[:4]
+
+    i = jnp.int32(0)
+    nres = jnp.int32(0)
+    phase_iters = []
+    i, nres, carry = run_phase(i, nres, carry0, levels[0] if levels else 0)
+    phase_iters.append(i)
+    radiance_total = carry[6]
+    for li, m in enumerate(levels):
+        carry, idx, valid = compact(carry, m)
+        next_stop = levels[li + 1] if li + 1 < len(levels) else 0
+        i, nres, carry = run_phase(i, nres, carry, next_stop)
+        phase_iters.append(i)
+        tail = jnp.where(valid[:, None], carry[6], 0.0)
+        radiance_total = radiance_total.at[idx].add(tail)
+    if with_stats:
+        return radiance_total, (jnp.stack(phase_iters), nres)
+    return radiance_total
+
+
 def _scatter_loop(
     params: SceneParams,
     static: SceneStatic,
@@ -102,7 +373,17 @@ def _scatter_loop(
        are gathered (``jnp.nonzero`` with a static size — the shape-stable
        analog of stream compaction) into a smaller buffer and the loop
        continues there; tail radiance is scatter-added back.
+
+    ``static.march_deferred`` dispatches to ``_scatter_loop_deferred`` (the
+    round-2 fast path: cell-resident substeps + batched scatter resolves);
+    this function remains the windowed path and, at ``march_window=0``, the
+    legacy two-gather-per-step oracle.
     """
+    if static.march_deferred and static.march_window >= 1:
+        return _scatter_loop_deferred(
+            params, static, pos, direction, alive, seed, ray_ids,
+            start_depth, chopped_at_depth1,
+        )
     n = pos.shape[0]
     f32 = pos.dtype
     step = jnp.float32(static.sample_step)

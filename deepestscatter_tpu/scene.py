@@ -74,6 +74,15 @@ class SceneStatic:
     #: corners zero ⇒ trilinear density ≡ 0 over the closed cell).  Test
     #: hook; always a win when on.
     march_empty_skip: bool = True
+    #: Deferred-scatter march loop (config.CloudRendering.march_deferred).
+    march_deferred: bool = True
+    #: Cell-resident substeps per fetched row (resolved, never 0 here).
+    march_substeps: int = 4
+    #: Pending fraction of alive rays that triggers a deferred resolve.
+    march_resolve_frac: float = 0.25
+    #: march_iter calls between resolve checks (amortizes the per-iteration
+    #: reduction + cond overhead over several row fetches).
+    march_check_every: int = 2
     #: Sample sky/sun light along paths in the all-scatter mode — the
     #: reference's disabled code path (cloudRadianceMaterials.cu:20-27,
     #: 36-46); see pathtracer._scatter_loop for the estimator notes.
@@ -180,6 +189,19 @@ def build_scene(
         occupancy_block=occ_block,
         occupancy_skip_steps=skip_steps,
         march_window=cfg.rendering.march_window,
+        march_deferred=cfg.rendering.march_deferred,
+        # Auto substeps: one fetched row serves the steps a ray takes
+        # crossing one cell (~steps-per-voxel), capped so thin-cell grids
+        # don't burn masked substep arithmetic.
+        march_substeps=(
+            cfg.rendering.march_substeps
+            if cfg.rendering.march_substeps > 0
+            else min(
+                8, max(1, round(1.0 / (max_dim * cfg.rendering.sample_step)))
+            )
+        ),
+        march_resolve_frac=cfg.rendering.march_resolve_frac,
+        march_check_every=cfg.rendering.march_check_every,
         sample_sky=cfg.rendering.sample_sky,
     )
 

@@ -1,0 +1,91 @@
+"""Measure the march hot-loop cost breakdown on the real chip.
+
+Times, at the bench operating point (batch 512x512):
+  (a) raw fused row gathers (random indices) from a 64^3 and 256^3 packed
+      table — the HBM/VMEM gather ceiling,
+  (b) gather + trilinear + exp (the physics arithmetic),
+  (c) the full micro_step equivalent (via a fixed-length scan of the
+      pathtracer loop body on a real scene).
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 512 * 512
+ITERS = 100
+
+
+def timeit(fn, *args, n=3):
+    fn(*args).block_until_ready()
+    t0 = time.time()
+    for _ in range(n):
+        r = fn(*args)
+    r.block_until_ready()
+    return (time.time() - t0) / n
+
+
+def gather_bench(ncells, label):
+    rows = jnp.asarray(np.random.randint(0, 255, (ncells, 16), np.uint8))
+    idx0 = jnp.asarray(np.random.randint(0, ncells, (BATCH,), np.int32))
+
+    @jax.jit
+    def run(idx):
+        def body(c, _):
+            idx, acc = c
+            r = jnp.take(rows, idx, axis=0, mode="clip")
+            acc = acc + r[:, :8].astype(jnp.float32).sum(-1)
+            # churn the indices so iterations don't collapse
+            idx = (idx * 1103515245 + 12345) % ncells
+            return (idx, acc), None
+
+        (idx, acc), _ = jax.lax.scan(body, (idx, jnp.zeros(BATCH)), None, length=ITERS)
+        return acc
+
+    dt = timeit(run, idx0)
+    per_row = dt / (BATCH * ITERS)
+    print(f"{label}: {dt*1e3:.1f} ms/{ITERS} iters -> {per_row*1e9:.2f} ns/row, "
+          f"{BATCH*ITERS/dt/1e6:.0f} Mrows/s, {BATCH*ITERS*16/dt/1e9:.1f} GB/s effective")
+    return per_row
+
+
+def main():
+    print("devices:", jax.devices())
+    g64 = gather_bench(64**3, "gather 64^3 (4 MB)")
+    g256 = gather_bench(256**3, "gather 256^3 (268 MB)")
+
+    # full loop cost on a real scene
+    from deepestscatter_tpu import scene as scene_mod
+    from deepestscatter_tpu.config import (CameraConfig, CloudModel, CloudRendering,
+                                           ProgressiveConfig, SceneConfig)
+    from deepestscatter_tpu.data import procedural
+    from deepestscatter_tpu.render import inscatter
+    from deepestscatter_tpu.render.progressive import ProgressiveRenderer
+
+    for res in (64, 256):
+        cfg = SceneConfig(
+            cloud=CloudModel(size_m=2000.0),
+            camera=CameraConfig(width=512, height=512),
+            progressive=ProgressiveConfig(subframes_per_tick=2),
+            rendering=CloudRendering(march_dtype="uint8"),
+        )
+        density = procedural.cumulus(resolution=res, seed=11)
+        params, static = scene_mod.build_scene(cfg, density)
+        params = inscatter.with_baked_inscatter(params, static)
+        r = ProgressiveRenderer(cfg, params, static, seed=1)
+        t0 = time.time(); r.tick(); jax.block_until_ready(r.state.mean)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        nt = 2
+        for _ in range(nt):
+            r.tick()
+        jax.block_until_ready(r.state.mean)
+        dt = (time.time() - t0) / nt
+        rays = 512 * 512 * 2
+        print(f"render {res}^3: compile+first {compile_s:.1f}s, {dt:.2f} s/tick, "
+              f"{rays/dt/1e6:.3f} Mrays/s, mean={float(r.hdr_image().mean()):.3f}")
+
+
+if __name__ == "__main__":
+    main()

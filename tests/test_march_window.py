@@ -58,6 +58,7 @@ def test_window_size_invariance(rig):
     """Window length only re-batches the deferred resolves — same paths,
     same draws, same radiance (modulo fp summation order)."""
     static, render = rig
+    static = dataclasses.replace(static, march_deferred=False)
     img_w8 = render(static)
     img_w1 = render(dataclasses.replace(static, march_window=1))
     assert np.isfinite(img_w8).all()
@@ -69,12 +70,54 @@ def test_windowed_matches_legacy_oracle(rig):
     """Windowed loop (skip off, identical step lattice) vs the legacy
     two-gather loop: identical paths, per-pixel float-precision equality."""
     static, render = rig
-    img_leg = render(dataclasses.replace(static, march_window=0))
+    img_leg = render(
+        dataclasses.replace(static, march_window=0, march_deferred=False)
+    )
     img_win = render(
-        dataclasses.replace(static, march_window=8, march_empty_skip=False)
+        dataclasses.replace(
+            static, march_window=8, march_empty_skip=False,
+            march_deferred=False,
+        )
     )
     scale = np.abs(img_leg).max() + 1e-9
     assert np.abs(img_leg - img_win).max() / scale < 1e-5
+
+
+def test_deferred_matches_legacy_oracle(rig):
+    """Deferred-scatter loop (skip off, identical step lattice and RNG draw
+    sites) vs the legacy two-gather loop: per-pixel float-precision
+    equality, for several substep/resolve-threshold settings."""
+    static, render = rig
+    img_leg = render(
+        dataclasses.replace(static, march_window=0, march_deferred=False)
+    )
+    scale = np.abs(img_leg).max() + 1e-9
+    for n_sub, frac in [(1, 0.5), (4, 0.5), (8, 0.25), (4, 1.0)]:
+        img_def = render(
+            dataclasses.replace(
+                static,
+                march_deferred=True,
+                march_empty_skip=False,
+                march_substeps=n_sub,
+                march_resolve_frac=frac,
+            )
+        )
+        assert np.abs(img_def - img_leg).max() / scale < 1e-5, (n_sub, frac)
+
+
+def test_deferred_empty_skip_unbiased(rig):
+    """Deferred loop with empty-cell exit jumps: estimator mean unchanged."""
+    static, render = rig
+    img_skip = render(
+        dataclasses.replace(static, march_deferred=True, march_empty_skip=True)
+    )
+    img_dense = render(
+        dataclasses.replace(
+            static, march_deferred=True, march_empty_skip=False
+        )
+    )
+    m0, m1 = float(img_dense.mean()), float(img_skip.mean())
+    assert abs(m0 - m1) / (abs(m0) + 1e-9) < 2e-2
 
 
 def test_empty_skip_unbiased(rig):
