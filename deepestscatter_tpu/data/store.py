@@ -15,8 +15,10 @@ LmdbDatasets triplet (LmdbDataset.py:106-122).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import warnings
 from typing import Dict
 
 import numpy as np
@@ -25,19 +27,52 @@ from . import records
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "librecordstore.so")
+_HASH_PATH = _LIB_PATH + ".srchash"
 _lib = None
+
+
+def _src_hash(src: str) -> str:
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _ensure_built() -> None:
+    """Rebuild librecordstore.so only when the SOURCE CONTENT changed.
+
+    Staleness is a content hash stored alongside the .so (mtimes are not
+    preserved by git, so a fresh checkout must not trigger an import-time
+    rebuild).  If a rebuild fails but a previously built .so exists, fall
+    back to it with a warning — the C++ toolchain stays optional whenever
+    a valid prebuilt library ships."""
+    src = os.path.join(_NATIVE_DIR, "recordstore.cpp")
+    want = _src_hash(src)
+    have = None
+    if os.path.exists(_HASH_PATH):
+        with open(_HASH_PATH) as f:
+            have = f.read().strip()
+    if os.path.exists(_LIB_PATH) and have == want:
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-B"], check=True, capture_output=True
+        )
+        with open(_HASH_PATH, "w") as f:
+            f.write(want)
+    except (subprocess.CalledProcessError, OSError) as e:
+        if os.path.exists(_LIB_PATH):
+            warnings.warn(
+                f"recordstore.cpp changed but rebuild failed ({e}); "
+                "falling back to the existing librecordstore.so"
+            )
+            return
+        raise
 
 
 def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    src = os.path.join(_NATIVE_DIR, "recordstore.cpp")
-    stale = os.path.exists(_LIB_PATH) and os.path.getmtime(
-        _LIB_PATH
-    ) < os.path.getmtime(src)
-    if not os.path.exists(_LIB_PATH) or stale:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    _ensure_built()
     lib = ctypes.CDLL(_LIB_PATH)
     lib.rs_open.restype = ctypes.c_void_p
     lib.rs_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
