@@ -144,65 +144,95 @@ def _bucket_size(n_active: int) -> int:
     return b
 
 
-@functools.partial(
-    jax.jit, static_argnames=("static", "replicas", "launches")
-)
+#: Per-call megabatch cap (rays): one render call at this size keeps the
+#: deferred loop's compaction effective and the ray buffers ~100 MB.
+_MAX_RAYS_PER_CALL = 1 << 20
+
+
+@functools.partial(jax.jit, static_argnames=("static", "n_experiments"))
+def _radiance_launch(
+    params: SceneParams,
+    static: SceneStatic,
+    entry: jnp.ndarray,  # [bucket, 3]
+    direction: jnp.ndarray,  # [bucket, 3]
+    rids: jnp.ndarray,  # [bucket] uint32 global sample ids
+    exp_base: jnp.ndarray,  # [bucket] uint32 first experiment index
+    seed: jnp.ndarray,  # uint32 scalar
+    *,
+    n_experiments: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trace ``bucket * n_experiments`` independent experiments in ONE
+    megabatch render call → per-point moment sums (Σx, Σx²).
+
+    The reference runs 100 sequential launches over replicated tasks per
+    update (RadianceCollector.cpp:88-96); sequential small launches
+    underutilize a TPU, so the experiment axis folds into the ray batch
+    (the path tracer's compaction cascade keeps finished lanes cheap).  RNG
+    keying is unchanged: (seed, sample id, global experiment index)."""
+    bucket = entry.shape[0]
+    o = jnp.tile(entry, (n_experiments, 1))
+    d = jnp.tile(direction, (n_experiments, 1))
+    ids_t = jnp.tile(rids, n_experiments)
+    k = jnp.repeat(jnp.arange(n_experiments, dtype=jnp.uint32), bucket)
+    exp_idx = jnp.tile(exp_base, n_experiments) + k
+    seeds = seed ^ (exp_idx * jnp.uint32(0x9E3779B1))
+    radiance = pathtracer.trace_hit_radiance(
+        params,
+        static,
+        o,
+        d,
+        jnp.ones((bucket * n_experiments,), bool),
+        seeds,
+        ids_t,
+    )[:, 0]
+    x = radiance.reshape(n_experiments, bucket)
+    return x.sum(axis=0), (x * x).sum(axis=0)
+
+
 def _radiance_update(
     params: SceneParams,
     static: SceneStatic,
-    entry: jnp.ndarray,  # [bucket, 3] box-local positions
-    direction: jnp.ndarray,  # [bucket, 3]
-    rids: jnp.ndarray,  # [bucket] uint32 global sample ids
-    base_count: jnp.ndarray,  # [bucket] f32 experiments already folded
-    seed: jnp.ndarray,  # uint32 scalar
+    entry: jnp.ndarray,
+    direction: jnp.ndarray,
+    rids: jnp.ndarray,
+    base_count: jnp.ndarray,
+    seed: jnp.ndarray,
     *,
     replicas: int,
     launches: int,
 ) -> welford_ops.Welford:
-    """One collector update: ``launches`` experiments on each of
-    ``replicas`` task replicas per point (the reference's 100 launches over
-    taskRepeatCount-replicated tasks, RadianceCollector.cpp:88-96), returning
-    the replica-merged Welford contribution of the FRESH experiments only.
+    """One collector update: ``replicas * launches`` fresh experiments per
+    point as chunked megabatch launches; the replica merge of the reference
+    (PointRadianceTask.h:54-68) becomes a moments sum.
 
     The RNG stream is keyed by (seed, sample id, global experiment index =
-    base_count + replica*launches + launch) — unique across updates and
-    independent of how replicas were densified, so results are restartable
-    and schedule-stable.
-    """
+    base_count + k) — the same index set as the reference's
+    replica-by-launch grid, unique across updates and independent of how
+    replicas were densified, so results are restartable and
+    schedule-stable."""
     bucket = entry.shape[0]
-    o = jnp.tile(entry, (replicas, 1))
-    d = jnp.tile(direction, (replicas, 1))
-    ids_t = jnp.tile(rids, replicas)
-    rep = jnp.repeat(jnp.arange(replicas, dtype=jnp.uint32), bucket)
-    base = jnp.tile(base_count.astype(jnp.uint32), replicas) + rep * jnp.uint32(
-        launches
-    )
-
-    def launch(li, wf):
-        exp_idx = base + jnp.uint32(li)
-        seeds = seed ^ (exp_idx * jnp.uint32(0x9E3779B1))
-        radiance = pathtracer.trace_hit_radiance(
+    total = replicas * launches
+    chunk = max(1, _MAX_RAYS_PER_CALL // max(bucket, 1))
+    s1 = jnp.zeros((bucket,), jnp.float32)
+    s2 = jnp.zeros((bucket,), jnp.float32)
+    done = 0
+    while done < total:
+        n = min(chunk, total - done)
+        c1, c2 = _radiance_launch(
             params,
             static,
-            o,
-            d,
-            jnp.ones((bucket * replicas,), bool),
-            seeds,
-            ids_t,
-        )[:, 0]
-        return welford_ops.update(wf, radiance)
-
-    wf = jax.lax.fori_loop(
-        0, launches, launch, welford_ops.Welford.zeros((bucket * replicas,))
-    )
-    # Replica merge = the reference's PointRadianceTask operator+= fold
-    # (PointRadianceTask.h:54-68), in one moments reduction.
-    c, s1, s2 = welford_ops.to_moments(wf)
-    return welford_ops.from_moments(
-        c.reshape(replicas, bucket).sum(0),
-        s1.reshape(replicas, bucket).sum(0),
-        s2.reshape(replicas, bucket).sum(0),
-    )
+            entry,
+            direction,
+            rids,
+            base_count + jnp.uint32(done),
+            seed,
+            n_experiments=n,
+        )
+        s1 = s1 + c1
+        s2 = s2 + c2
+        done += n
+    count = jnp.full((bucket,), float(total), jnp.float32)
+    return welford_ops.from_moments(count, s1, s2)
 
 
 def estimate_point_radiance(
@@ -239,7 +269,12 @@ def estimate_point_radiance(
 
     mean = np.zeros(n, np.float32)
     m2 = np.zeros(n, np.float32)
+    # Welford weights stay float; the authoritative experiment counter is
+    # int64 (float32 goes inexact past 2^24 experiments, which would let
+    # RNG experiment-index bases overlap across updates and correlate
+    # samples on stubborn unconverged points).
     count = np.zeros(n, np.float32)
+    count_int = np.zeros(n, np.int64)
     converged = np.zeros(n, bool)
     eps = np.finfo(np.float32).eps
 
@@ -265,7 +300,7 @@ def estimate_point_radiance(
             jnp.asarray(entry[idx]),
             jnp.asarray(dirs[idx]),
             jnp.asarray(idx.astype(np.uint32)),
-            jnp.asarray(count[idx]),
+            jnp.asarray((count_int[idx] & 0xFFFFFFFF).astype(np.uint32)),
             seed_arr,
             replicas=replicas,
             launches=cfg.launches_per_update,
@@ -282,6 +317,7 @@ def estimate_point_radiance(
         mean[active] += delta * (c_count / safe)
         m2[active] += c_m2 + delta**2 * (count[active] * c_count / safe)
         count[active] = tot
+        count_int[active] += replicas * cfg.launches_per_update
 
         # Convergence gates (RadianceCollector.cpp:112-118): rel CI < 2e-2
         # or abs CI < 1e-4; black samples instead require surviving the
@@ -291,7 +327,7 @@ def estimate_point_radiance(
         conv = (ci / (mean[active] + eps) < cfg.rel_tol) | (ci < cfg.abs_tol)
         black = mean[active] < eps
         conv = np.where(
-            black, count[active] > cfg.black_min_experiments, conv
+            black, count_int[active] > cfg.black_min_experiments, conv
         )
         converged[active] = conv
         active = active[~conv]
@@ -300,7 +336,7 @@ def estimate_point_radiance(
                 f"radiance update {r}: {active.size} unconverged "
                 f"(replicas {replicas} x launches {cfg.launches_per_update})"
             )
-    return RadianceEstimate(mean, converged, count, tuple(schedule))
+    return RadianceEstimate(mean, converged, count_int, tuple(schedule))
 
 
 def collect_disney_descriptors(
