@@ -43,6 +43,26 @@ def sample_inscatter(params: SceneParams, pos: jnp.ndarray) -> jnp.ndarray:
     return grid_ops.sample_trilinear(params.inscatter, u)
 
 
+def back_correct_distance(
+    od: jnp.ndarray, trans_new: jnp.ndarray, density: jnp.ndarray
+) -> jnp.ndarray:
+    """Free-flight back-correction distance ``log(od / T) / σ``
+    (cloud.cuh:99), shared by every march loop.
+
+    The floors are chosen for NaN-free reverse-mode AD, not just forward
+    safety: ∂back/∂T = −1/(T̃·σ̃) and ∂back/∂σ = −log(·)/σ̃² must stay
+    finite in float32 even on masked lanes (0 · inf = NaN would poison
+    gradients of the differentiable path).  With T̃ ≥ 1e-20 and σ̃ ≥ 1e-10
+    the worst partial is ~1e30 < f32 max.  Values on real scatter lanes are
+    unchanged: a crossing needs od > T, and od is a 24-bit uniform ≥ 6e-8,
+    so live T/od are far above the floors; σ < 1e-10 means a scatter
+    probability < 1e-10·Δ through the segment."""
+    f = jnp.float32
+    return jnp.log(
+        jnp.maximum(od, f(1e-20)) / jnp.maximum(trans_new, f(1e-20))
+    ) / jnp.maximum(density, f(1e-10))
+
+
 def empty_cell_exit_steps(
     cell: jnp.ndarray,
     pos: jnp.ndarray,
@@ -133,9 +153,7 @@ def next_scattering_event(
         crossed = active & (~scattered) & (optical_distance > trans_new)
         # Back-correct the scatter position inside the last step
         # (cloud.cuh:99): pos - dir * log(od / T) / sigma.
-        back = jnp.log(optical_distance / jnp.maximum(trans_new, 1e-30)) / jnp.maximum(
-            density, 1e-20
-        )
+        back = back_correct_distance(optical_distance, trans_new, density)
         cand = new_pos - direction * back[:, None]
         scatter_pos = jnp.where(crossed[:, None], cand, scatter_pos)
         scattered = scattered | crossed

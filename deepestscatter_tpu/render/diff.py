@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SceneConfig, fov_tan_halves
 from ..ops import grid as grid_ops
@@ -120,7 +121,7 @@ def camera_rays(
     jax.jit,
     static_argnames=(
         "width", "height", "density_multiplier", "n_steps", "sun_steps",
-        "sample_step", "remat_chunk",
+        "sample_step", "remat_chunk", "use_baked_inscatter",
     ),
 )
 def render_single_scatter(
@@ -133,18 +134,45 @@ def render_single_scatter(
     sample_step: float = 1.0 / 256.0,
     sun_cos_half_angle: float = math.cos(math.radians(0.53) / 2.0),
     remat_chunk: int = 32,
+    use_baked_inscatter: bool = True,
 ) -> jnp.ndarray:
     """Differentiable single-scatter render → [height, width, 3].
 
     The march is a ``lax.scan`` over ``n_steps`` chunked under
     ``jax.checkpoint``: backward memory is O(n_steps / remat_chunk)
     checkpoints instead of O(n_steps) full states.
+
+    ``use_baked_inscatter`` (default) evaluates NEE sun transmittance from
+    a DIFFERENTIABLY baked grid sampled trilinearly — the renderer's own
+    semantics (VDBCloud bake + tex3D, inScatter.cu), so values cross-
+    validate against the MC path tracer, and the bake is O(V) instead of
+    the O(pixels x steps x sun_steps) per-point march.  ``False`` re-marches
+    the sun exactly per sample point (pointwise-exact physics; differs from
+    grid-interpolated transmittance by the trilinear-of-exponential
+    interpolation error in deep shadow).
     """
     density, sun_dir = scene.density, scene.sun_dir
     bbox = _bbox(density)
     sun_n = sun_dir / jnp.linalg.norm(sun_dir)
     phase = phase_ops.load_phase_table()
     origins, dirs = camera_rays(scene.eye, scene.look_at, width, height)
+
+    if use_baked_inscatter:
+        packed_density = grid_ops.pack_corners(density)
+        baked = bake_inscatter_diff(
+            packed_density, bbox, sun_n, density_multiplier, sample_step
+        )
+        ins_packed = grid_ops.pack_corners(baked)
+
+        def t_sun_at(p):
+            return grid_ops.sample_trilinear(ins_packed, p / bbox)
+
+    else:
+
+        def t_sun_at(p):
+            return sun_transmittance(
+                density, sun_dir, p, density_multiplier, sun_steps, sample_step
+            )
 
     # Entry points (the box is fixed; t_near still differentiates w.r.t.
     # eye/dirs).  Axis-parallel rays have a zero direction component; guard
@@ -173,10 +201,28 @@ def render_single_scatter(
             p = entry + dirs * (step * (i + 1.0))
             sigma = sample_density(density, bbox, p) * dm
             t_view = jnp.exp(-tau)
-            t_sun = sun_transmittance(
-                density, sun_dir, p, density_multiplier, sun_steps, sample_step
-            )
-            contrib = t_view * sigma * step * t_sun * p_phase * sun_ratio
+            # Exact per-segment weight: ∫ σ e^{-τ} over the segment equals
+            # T_prev · (1 − e^{−σΔ}) for segment-constant σ — precisely the
+            # expectation of the free-flight MC estimator on the same step
+            # grid (cloud.cuh:87-106), so quadrature cross-validates
+            # against the path tracer without first-order O(σΔ) bias.
+            seg = 1.0 - jnp.exp(-sigma * step)
+            # NEE evaluates at the segment's free-flight MEAN point (the MC
+            # scatter position is exp-weighted within the step, cloud.cuh:99
+            # back-correction): offset Δ−E[x] behind the segment end, with
+            # E[x] = 1/σ − Δ·e^{−σΔ}/(1−e^{−σΔ}) for x ∈ [0, Δ].  Sampling
+            # t_sun at the segment END instead is first-order biased in
+            # strong sun-shadow gradients (measured ~25% on silhouette
+            # pixels at σΔ ≈ 0.3).
+            sig = jnp.maximum(sigma, 1e-6)
+            a = sig * step
+            em = -jnp.expm1(-a)  # 1 − e^{−a}, cancellation-free
+            exact = 1.0 / sig - step * jnp.exp(-a) / jnp.maximum(em, 1e-30)
+            taylor = step * (0.5 - a / 12.0)  # E[x] for σΔ → 0
+            mean_x = jnp.where(a < 1e-3, taylor, exact)
+            p_nee = p - dirs * (step - mean_x)[:, None]
+            t_sun = t_sun_at(p_nee)
+            contrib = t_view * seg * t_sun * p_phase * sun_ratio
             return (tau + sigma * step, radiance + contrib), None
 
         carry, _ = jax.lax.scan(
@@ -205,4 +251,172 @@ def render_and_grads(scene: DiffScene, **kw):
         return img.mean(), img
 
     (value, img), grads = jax.value_and_grad(loss, has_aux=True)(scene)
+    return img, grads
+
+
+# ---------------------------------------------------------------------------
+# Differentiable MULTI-scatter: reparameterized Monte Carlo through the
+# path tracer's own bounce loop (render/pathtracer.py with
+# static.differentiable=True: the identical legacy body, run as a
+# rematerialized fixed-trip-count scan).  Given fixed RNG draws the whole
+# path — free-flight scatter positions (back-correction log(od/T)/σ,
+# cloud.cuh:99), per-bounce NEE, direction frames — is a deterministic
+# differentiable function of (density voxels, sun direction, radiance), so
+# reverse-mode AD yields exact per-sample path gradients; averaging
+# subframes gives the gradient of the Monte-Carlo estimate.
+# ---------------------------------------------------------------------------
+
+
+def bake_inscatter_diff(
+    density_packed: jnp.ndarray,
+    bbox: jnp.ndarray,
+    light_dir: jnp.ndarray,
+    density_multiplier,
+    sample_step: float,
+) -> jnp.ndarray:
+    """Differentiable sun-transmittance bake → raw [Z, Y, X].
+
+    Arithmetic mirrors render.inscatter.bake's EXACT float mode
+    (``quantize=False, early_out=False`` — inScatter.cu:40-66 without the
+    uint8 freeze, whose floor/freeze would zero gradients in optically
+    thick regions) with the data-dependent while replaced by a fixed-length
+    scan covering the box diagonal; values match that bake exactly."""
+    import math as _math
+
+    nz, ny, nx, _ = density_packed.shape
+    max_dim = float(max(nx, ny, nz))
+    step = jnp.float32(sample_step)
+    dm = jnp.asarray(density_multiplier, jnp.float32)
+    n_steps = int(_math.ceil(_math.sqrt(3.0) / sample_step)) + 2
+    to_light = -light_dir
+
+    zi = jnp.arange(nz, dtype=jnp.float32)
+    yi = jnp.arange(ny, dtype=jnp.float32)
+    xi = jnp.arange(nx, dtype=jnp.float32)
+    zz, yy, xx = jnp.meshgrid(zi, yi, xi, indexing="ij")
+    base = jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3) / max_dim
+
+    def body(trans, i):
+        pos = base + to_light * (step * i)
+        density = grid_ops.sample_trilinear(density_packed, pos / bbox) * dm
+        return trans * jnp.exp(-density * step), None
+
+    trans, _ = jax.lax.scan(
+        jax.checkpoint(body),
+        jnp.ones((base.shape[0],), jnp.float32),
+        jnp.arange(n_steps, dtype=jnp.float32),
+    )
+    return trans.reshape(nz, ny, nx)
+
+
+def diff_scene(cfg: SceneConfig, scene: DiffScene, max_depth: int = 4):
+    """Build (SceneParams, SceneStatic) DIFFERENTIABLY from raw leaves.
+
+    The params pytree is a traced function of ``scene.density`` /
+    ``scene.sun_dir`` / ``scene.light_radiance`` — the in-scatter bake, the
+    corner packing, and the fused march rows are all jnp ops — so
+    ``jax.grad`` through a render addresses the physical inputs.  Static
+    facts come from ``cfg`` with the differentiable oracle loop selected.
+    """
+    import dataclasses as _dc
+
+    from .. import scene as scene_mod
+    from ..config import CloudRendering
+
+    density = scene.density
+    nz, ny, nx = density.shape
+    bbox = _bbox(density)
+    light_dir = scene.sun_dir / jnp.linalg.norm(scene.sun_dir)
+
+    rendering = _dc.replace(
+        cfg.rendering,
+        max_depth=max_depth,
+        march_window=0,
+        march_deferred=False,
+        occupancy_skipping=False,
+    )
+    cfg = _dc.replace(cfg, rendering=rendering)
+    _, static0 = scene_mod.build_scene(cfg, np.zeros((2, 2, 2), np.float32))
+    static = _dc.replace(
+        static0,
+        grid_shape=(nz, ny, nx),
+        n_mips=1,
+        voxel_size_normalized=1.0 / max(nx, ny, nz),
+        voxel_size_in_mfp=(
+            cfg.cloud.size_m / max(nx, ny, nz) / cfg.cloud.mean_free_path_m
+        ),
+        differentiable=True,
+        march_window=0,
+        march_deferred=False,
+        occupancy_skip_steps=0,
+    )
+
+    packed = grid_ops.pack_corners(density)
+    inscatter_raw = bake_inscatter_diff(
+        packed, bbox, light_dir, static.density_multiplier, static.sample_step
+    )
+    inscatter_packed = grid_ops.pack_corners(inscatter_raw)
+    march_rows = jnp.concatenate([packed, inscatter_packed], axis=-1)
+    params = scene_mod.SceneParams(
+        density_mips=(packed,),
+        inscatter=inscatter_packed,
+        march_rows=march_rows,
+        occupancy=jnp.zeros((1, 1, 1), jnp.float32),
+        bbox_size=bbox,
+        light_dir=light_dir,
+        light_radiance=scene.light_radiance,
+        sky_intensity=jnp.asarray(cfg.sky.sky_intensity, jnp.float32),
+        ground_intensity=jnp.asarray(cfg.sky.ground_intensity, jnp.float32),
+        phase=phase_ops.load_phase_table(),
+    )
+    return params, static
+
+
+def render_multi_scatter_mc(
+    scene: DiffScene,
+    cfg: SceneConfig,
+    width: int = 16,
+    height: int = 8,
+    max_depth: int = 4,
+    n_subframes: int = 2,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """Differentiable multi-scatter Monte-Carlo render → [H, W, 3].
+
+    The estimator IS the path tracer's (mode from ``cfg.rendering.mode``,
+    NEE each bounce, chopped-phase resampling — cloudRadianceMaterials.cu:
+    28-115) with the same RNG keying, so with matching seeds the forward
+    pass reproduces ``pathtracer.render_subframe`` exactly; reverse-mode
+    gradients flow to density / sun / radiance through every march step,
+    scatter position, and the in-scatter bake."""
+    from ..render import pathtracer as pt
+
+    params, static = diff_scene(cfg, scene, max_depth=max_depth)
+    origins, dirs = camera_rays(
+        scene.eye, scene.look_at, width, height, cfg.camera.hfov_deg
+    )
+    # Axis-parallel guard: camera_ops.intersect_box divides by the
+    # direction (IEEE inf is fine forward, but 0 * inf = NaN in reverse
+    # mode even for lanes the final `where` masks) — nudge exact zeros.
+    dirs = jnp.where(
+        jnp.abs(dirs) < 1e-9, jnp.where(dirs >= 0.0, 1e-9, -1e-9), dirs
+    )
+    ids = jnp.arange(origins.shape[0], dtype=jnp.uint32)
+    acc = jnp.zeros((origins.shape[0], 3), jnp.float32)
+    for s in range(n_subframes):
+        acc = acc + pt.render_subframe(
+            params, static, origins, dirs, seed, jnp.int32(s + 1), ids
+        )
+    return (acc / n_subframes).reshape(height, width, 3)
+
+
+def multi_scatter_and_grads(scene: DiffScene, cfg: SceneConfig, **kw):
+    """(image, gradients of mean radiance w.r.t. every DiffScene leaf) for
+    the multi-scatter MC renderer."""
+
+    def loss(s):
+        img = render_multi_scatter_mc(s, cfg, **kw)
+        return img.mean(), img
+
+    (_, img), grads = jax.value_and_grad(loss, has_aux=True)(scene)
     return img, grads

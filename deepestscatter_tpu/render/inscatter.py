@@ -22,13 +22,33 @@ from ..ops import grid as grid_ops
 from ..scene import SceneParams, SceneStatic
 
 
-def bake(params: SceneParams, static: SceneStatic, quantize: bool = True) -> jnp.ndarray:
-    """Bake the sun-transmittance grid at density resolution → [Z, Y, X]."""
+def bake(
+    params: SceneParams,
+    static: SceneStatic,
+    quantize: bool = True,
+    early_out: bool = True,
+) -> jnp.ndarray:
+    """Bake the sun-transmittance grid at density resolution → [Z, Y, X].
+
+    ``early_out`` freezes voxels once transmittance falls below 1/255 —
+    correct under uint8 quantization (the stored value floors to 0 anyway,
+    inScatter.cu:57) but a ~1/255 overestimate when keeping float values;
+    pass ``early_out=False`` with ``quantize=False`` for exact float bakes
+    (e.g. cross-validation against quadrature references)."""
+    import math
+
     nz, ny, nx = static.grid_shape
     max_dim = float(max(nx, ny, nz))
     step = jnp.float32(static.sample_step)
     dm = jnp.float32(static.density_multiplier)
-    n_steps = int(round(1.0 / static.sample_step))
+    # The exact (no-early-out) bake must cover the longest in-box sun path
+    # (the box diagonal); the uint8 path keeps the legacy 1.0-length cap
+    # (values below 1/255 freeze long before the diagonal matters).
+    n_steps = (
+        int(round(1.0 / static.sample_step))
+        if early_out
+        else int(math.ceil(math.sqrt(3.0) / static.sample_step)) + 2
+    )
     to_light = -params.light_dir
 
     # Voxel-corner positions in local coords: idx / max_dim
@@ -44,7 +64,8 @@ def bake(params: SceneParams, static: SceneStatic, quantize: bool = True) -> jnp
 
     def cond(state):
         i, trans = state
-        return jnp.logical_and(i < n_steps, jnp.any(trans * 255.0 >= 1.0))
+        more = jnp.any(trans * 255.0 >= 1.0) if early_out else True
+        return jnp.logical_and(i < n_steps, more)
 
     def body(state):
         i, trans = state
@@ -52,8 +73,11 @@ def bake(params: SceneParams, static: SceneStatic, quantize: bool = True) -> jnp
         pos = base + to_light * (step * i.astype(jnp.float32))
         u = pos / params.bbox_size
         density = grid_ops.sample_trilinear(density0, u) * dm
-        active = trans * 255.0 >= 1.0
-        trans = jnp.where(active, trans * jnp.exp(-density * step), trans)
+        if early_out:
+            active = trans * 255.0 >= 1.0
+            trans = jnp.where(active, trans * jnp.exp(-density * step), trans)
+        else:
+            trans = trans * jnp.exp(-density * step)
         return i + 1, trans
 
     trans0 = jnp.ones((base.shape[0],), jnp.float32)
@@ -65,11 +89,14 @@ def bake(params: SceneParams, static: SceneStatic, quantize: bool = True) -> jnp
 
 
 def with_baked_inscatter(
-    params: SceneParams, static: SceneStatic, quantize: bool = True
+    params: SceneParams,
+    static: SceneStatic,
+    quantize: bool = True,
+    early_out: bool = True,
 ) -> SceneParams:
     """Return a copy of ``params`` with the in-scatter grid baked (stored in
     the packed-corner fast-sampling layout, like the density mips)."""
-    baked = bake(params, static, quantize=quantize)
+    baked = bake(params, static, quantize=quantize, early_out=early_out)
     from ..scene import make_march_rows  # local import: scene imports ops only
 
     march_dtype = (

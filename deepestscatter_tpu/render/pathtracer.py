@@ -169,9 +169,7 @@ def _scatter_loop_deferred(
             density = grid_ops.trilinear_from_rows(dens_rows, fracj) * dm
             trans_new = jnp.where(ok, trans * jnp.exp(-density * step), trans)
             crossed = ok & (od > trans_new)
-            back = jnp.log(od / jnp.maximum(trans_new, tiny)) / jnp.maximum(
-                density, jnp.float32(1e-20)
-            )
+            back = march_ops.back_correct_distance(od, trans_new, density)
             spos = newp - dirn * back[:, None]
             in_box_s = is_in_box(spos, params.bbox_size)
             inb = is_in_box(newp, params.bbox_size)
@@ -270,10 +268,14 @@ def _scatter_loop_deferred(
         # the rays still ALIVE (not of the buffer: late in a phase a small
         # active tail must not stall a large pending population), or when
         # nothing but pending rays remains.
+        # ``pend_n == alive_n`` is an explicit trigger so a misconfigured
+        # frac > 1.0 can never leave pending rays spinning to the iteration
+        # cap (which would silently drop their bounce-tail radiance).
         frac = jnp.float32(static.march_resolve_frac)
-        need = (pend_n.astype(jnp.float32) >= alive_n.astype(jnp.float32) * frac) & (
-            pend_n > 0
-        )
+        need = (
+            (pend_n.astype(jnp.float32) >= alive_n.astype(jnp.float32) * frac)
+            | (pend_n == alive_n)
+        ) & (pend_n > 0)
         carry = jax.lax.cond(need, resolve, lambda c: c, carry)
         return (
             i + max(1, static.march_check_every),
@@ -482,9 +484,7 @@ def _scatter_loop(
         density = grid_ops.trilinear_from_rows(dens_rows, frac) * dm
         trans_new = jnp.where(alive, trans * jnp.exp(-density * step), trans)
         crossed = alive & (od > trans_new)
-        back = jnp.log(od / jnp.maximum(trans_new, tiny)) / jnp.maximum(
-            density, jnp.float32(1e-20)
-        )
+        back = march_ops.back_correct_distance(od, trans_new, density)
         scatter_pos = new_pos - direction * back[:, None]
         in_box_scatter = is_in_box(scatter_pos, params.bbox_size)
         scattered = crossed & in_box_scatter
@@ -623,9 +623,7 @@ def _scatter_loop(
         trans_new = jnp.where(alive, trans * jnp.exp(-density * step), trans)
         crossed = alive & (od > trans_new)
         # Back-correct the scatter position inside the step (cloud.cuh:99).
-        back = jnp.log(od / jnp.maximum(trans_new, tiny)) / jnp.maximum(
-            density, jnp.float32(1e-20)
-        )
+        back = march_ops.back_correct_distance(od, trans_new, density)
         scatter_pos = new_pos - direction * back[:, None]
         in_box_scatter = is_in_box(scatter_pos, params.bbox_size)
         scattered = crossed & in_box_scatter
@@ -680,6 +678,27 @@ def _scatter_loop(
                        pend_pos, pend_factor, pend_valid)
 
     phase_body = windowed_body if static.march_window >= 1 else body
+
+    if static.differentiable:
+        # Reverse-differentiable variant: the SAME ``body`` under a
+        # fixed-trip-count rematerialized scan (while_loop has no reverse
+        # rule; the trip count is the loop's own iteration cap, so forward
+        # values are identical — dead rays just no-op the remaining
+        # iterations).  One phase, no compaction (``jnp.nonzero`` sizes
+        # would be value-dependent).
+        assert static.march_window == 0 and not static.march_deferred, (
+            "differentiable mode requires the legacy oracle loop "
+            "(march_window=0, march_deferred=False)"
+        )
+
+        def scan_body(state, _):
+            return jax.checkpoint(body)(state), None
+
+        (_, carry), _ = jax.lax.scan(
+            scan_body, (jnp.int32(0), carry0), None,
+            length=static.max_total_steps,
+        )
+        return resolve_pending(carry)[6]
 
     def run_phase(i, carry, stop_below):
         """while_loop until < stop_below rays stay alive (0 = until none).
@@ -767,6 +786,11 @@ def trace_hit_radiance(
             params, static, entry_pos, directions, hit, seed, ray_ids, jnp.int32(1), True
         )
     if mode is RenderMode.SUN_SINGLE_SCATTER:
+        if static.differentiable:
+            raise NotImplementedError(
+                "single scatter has a dedicated differentiable quadrature "
+                "formulation (render.diff.render_single_scatter)"
+            )
         od = rng_ops.hash_uniform(seed, ray_ids, jnp.int32(0))
         event = march_ops.next_scattering_event(
             params, static, od, entry_pos, directions, stop_at_scatter=True

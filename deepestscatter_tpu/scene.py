@@ -87,6 +87,12 @@ class SceneStatic:
     #: reference's disabled code path (cloudRadianceMaterials.cu:20-27,
     #: 36-46); see pathtracer._scatter_loop for the estimator notes.
     sample_sky: bool = False
+    #: Differentiable-mode path tracing: the bounce loop runs as a
+    #: fixed-trip-count rematerialized ``lax.scan`` of the SAME legacy body
+    #: (reverse-mode differentiable) instead of ``lax.while_loop``; requires
+    #: ``march_window == 0`` and ``march_deferred == False`` (the oracle
+    #: loop), disables compaction.  Identical forward values.
+    differentiable: bool = False
 
     @property
     def max_march_steps(self) -> int:
@@ -200,7 +206,9 @@ def build_scene(
                 8, max(1, round(1.0 / (max_dim * cfg.rendering.sample_step)))
             )
         ),
-        march_resolve_frac=cfg.rendering.march_resolve_frac,
+        # Clamped: a frac > 1.0 would make the pending-share resolve trigger
+        # unsatisfiable (the == alive trigger in the loop is the backstop).
+        march_resolve_frac=min(cfg.rendering.march_resolve_frac, 1.0),
         march_check_every=cfg.rendering.march_check_every,
         sample_sky=cfg.rendering.sample_sky,
     )

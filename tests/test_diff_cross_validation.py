@@ -1,0 +1,215 @@
+"""Differentiable-renderer cross-validation against the Monte-Carlo path
+tracer (VERDICT round-2 task #3):
+
+1. the deterministic single-scatter QUADRATURE (render.diff) must agree
+   with a converged ``SUN_SINGLE_SCATTER`` MC render of the same scene —
+   two independent implementations of the same integral
+   (cloudRadianceMaterials.cu:120-148);
+2. the differentiable MULTI-scatter MC path (static.differentiable=True:
+   the oracle bounce loop as a rematerialized scan) must reproduce the
+   production path tracer's forward values exactly;
+3. its gradients w.r.t. density voxels and the sun direction must match
+   central finite differences.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepestscatter_tpu import scene as scene_mod
+from deepestscatter_tpu.config import (
+    CameraConfig,
+    CloudModel,
+    CloudRendering,
+    DirectionalLight,
+    RenderMode,
+    SceneConfig,
+)
+from deepestscatter_tpu.render import camera as camera_ops
+from deepestscatter_tpu.render import diff as diff_mod
+from deepestscatter_tpu.render import inscatter, pathtracer
+from deepestscatter_tpu.render.progressive import ProgressiveRenderer
+
+W, H = 24, 12
+RES = 16
+SIZE_M = 400.0  # density_multiplier 40 at mfp 10 — a thin cloud
+SUN = (-0.3, -0.9, 0.1)
+
+
+def _density():
+    rng = np.random.default_rng(0)
+    d = np.zeros((RES, RES, RES), np.float32)
+    d[3:-3, 3:-3, 3:-3] = rng.random((RES - 6,) * 3).astype(np.float32)
+    return d
+
+
+def _cfg(mode, sample_step=1.0 / 64.0, max_depth=4):
+    return SceneConfig(
+        cloud=CloudModel(size_m=SIZE_M),
+        light=DirectionalLight(direction=SUN),
+        camera=CameraConfig(width=W, height=H),
+        rendering=CloudRendering(
+            sample_step=sample_step,
+            max_depth=max_depth,
+            mode=mode,
+            march_window=0,
+            march_deferred=False,
+        ),
+    )
+
+
+def test_single_scatter_quadrature_matches_mc():
+    """Converged MC single-scatter ≈ deterministic quadrature: the
+    BASELINE 'renders allclose vs the reference-matching path tracer'
+    check for the differentiable formulation."""
+    density = _density()
+    cfg = _cfg(RenderMode.SUN_SINGLE_SCATTER)
+    params, static = scene_mod.build_scene(cfg, density)
+    # Unquantized in-scatter: the quadrature has no uint8 floor.
+    params = inscatter.with_baked_inscatter(
+        params, static, quantize=False, early_out=False
+    )
+    prog = ProgressiveRenderer(cfg, params, static, seed=5)
+    for _ in range(60):  # 600 subframes — tight CI on a single-draw integrand
+        prog.tick()
+    mc = prog.hdr_image()
+
+    scene = diff_mod.DiffScene(
+        density=jnp.asarray(scene_mod.grid_ops.normalize_density(density)),
+        sun_dir=jnp.asarray(SUN, jnp.float32),
+        eye=jnp.asarray(cfg.camera.eye, jnp.float32),
+        look_at=jnp.zeros(3, jnp.float32),
+        light_radiance=jnp.asarray([1e6, 1e6, 1e6], jnp.float32),
+    )
+    quad = np.asarray(
+        diff_mod.render_single_scatter(
+            scene,
+            width=W,
+            height=H,
+            density_multiplier=static.density_multiplier,
+            # Same step grid as the MC march: with the segment-exact
+            # quadrature weight and the shared baked-inscatter semantics,
+            # the remaining difference is pure MC noise.
+            n_steps=128,
+            sample_step=1.0 / 64.0,
+        )
+    )
+    # Compare where the quadrature renders (box hits; MC shades sky on
+    # misses, the quadrature leaves them black).
+    hit = quad[..., 0] > 0.0
+    assert hit.sum() > 50
+    mc_hit, quad_hit = mc[hit], quad[hit]
+    # Mean radiance agrees within quadrature discretization + MC noise.
+    assert np.mean(quad_hit) == pytest.approx(np.mean(mc_hit), rel=0.05)
+    # Pixelwise: tolerant of per-pixel MC noise at 600 samples.
+    rel = np.abs(quad_hit - mc_hit) / (np.abs(mc_hit) + 0.05 * mc_hit.mean())
+    assert np.median(rel) < 0.1
+
+
+@pytest.fixture(scope="module")
+def diff_scene_pair():
+    density = scene_mod.grid_ops.normalize_density(_density())
+    scene = diff_mod.DiffScene(
+        density=jnp.asarray(density),
+        sun_dir=jnp.asarray(SUN, jnp.float32),
+        eye=jnp.asarray((2.5, -0.4, 0.0), jnp.float32),
+        look_at=jnp.zeros(3, jnp.float32),
+        light_radiance=jnp.asarray([1e6, 1e6, 1e6], jnp.float32),
+    )
+    cfg = _cfg(RenderMode.SUN_AND_SKY_ALL_SCATTER, max_depth=4)
+    return scene, cfg
+
+
+def test_multi_scatter_forward_equals_path_tracer(diff_scene_pair):
+    """The differentiable multi-scatter forward pass IS the path tracer:
+    same params → same subframe values as the production oracle loop."""
+    scene, cfg = diff_scene_pair
+    img = np.asarray(
+        diff_mod.render_multi_scatter_mc(
+            scene, cfg, width=W, height=H, max_depth=4, n_subframes=2, seed=9
+        )
+    )
+
+    density = np.asarray(scene.density)
+    params, static = scene_mod.build_scene(cfg, density)
+    params = inscatter.with_baked_inscatter(
+        params, static, quantize=False, early_out=False
+    )
+    basis_o, basis_d = diff_mod.camera_rays(scene.eye, scene.look_at, W, H)
+    ids = jnp.arange(W * H, dtype=jnp.uint32)
+    acc = np.zeros((W * H, 3), np.float32)
+    static = dataclasses.replace(static, max_depth=4)
+    for s in range(2):
+        acc += np.asarray(
+            pathtracer.render_subframe(
+                params, static, basis_o, basis_d, 9, jnp.int32(s + 1), ids
+            )
+        )
+    ref = (acc / 2).reshape(H, W, 3)
+    assert np.isfinite(img).all()
+    np.testing.assert_allclose(img, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ms_grads(diff_scene_pair):
+    scene, cfg = diff_scene_pair
+    kw = dict(width=12, height=8, max_depth=3, n_subframes=2, seed=4)
+    img, grads = diff_mod.multi_scatter_and_grads(scene, cfg, **kw)
+    return scene, cfg, kw, img, grads
+
+
+def test_multi_scatter_grads_finite_nonzero(ms_grads):
+    _, _, _, img, grads = ms_grads
+    assert np.isfinite(np.asarray(img)).all()
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert float(jnp.abs(grads.density).max()) > 0
+    assert float(jnp.abs(grads.sun_dir).max()) > 0
+
+
+def _fd(loss, scene, set_, eps_list, analytic, rtol):
+    errs = []
+    for e in eps_list:
+        fd = (float(loss(set_(scene, +e))) - float(loss(set_(scene, -e)))) / (
+            2 * e
+        )
+        if fd == pytest.approx(analytic, rel=rtol, abs=1e-7):
+            return
+        errs.append((e, fd))
+    raise AssertionError(f"analytic {analytic} vs FD {errs}")
+
+
+def test_multi_scatter_grad_wrt_density_fd(ms_grads):
+    scene, cfg, kw, _, grads = ms_grads
+
+    def loss(s):
+        return float(
+            diff_mod.render_multi_scatter_mc(s, cfg, **kw).mean()
+        )
+
+    g = np.asarray(grads.density)
+    z, y, x = np.unravel_index(np.argmax(np.abs(g)), g.shape)
+    analytic = float(g[z, y, x])
+
+    def set_(s, d):
+        return s._replace(density=s.density.at[z, y, x].add(d))
+
+    _fd(loss, scene, set_, [1e-3, 3e-4], analytic, rtol=5e-2)
+
+
+def test_multi_scatter_grad_wrt_sun_fd(ms_grads):
+    scene, cfg, kw, _, grads = ms_grads
+    analytic = float(grads.sun_dir[1])
+
+    def loss(s):
+        return float(
+            diff_mod.render_multi_scatter_mc(s, cfg, **kw).mean()
+        )
+
+    def set_(s, d):
+        return s._replace(sun_dir=s.sun_dir.at[1].add(d))
+
+    _fd(loss, scene, set_, [1e-3, 3e-4, 1e-4], analytic, rtol=8e-2)

@@ -24,6 +24,10 @@ def _scene(res=8):
 KW = dict(
     width=12, height=8, density_multiplier=40.0,
     n_steps=64, sun_steps=48, sample_step=1.0 / 64.0, remat_chunk=16,
+    # The exact per-point sun march: pointwise-smooth in sun_dir, which the
+    # small-eps FD probes rely on.  The default baked-grid path (renderer
+    # semantics) is FD-checked in test_diff_cross_validation.py.
+    use_baked_inscatter=False,
 )
 
 
