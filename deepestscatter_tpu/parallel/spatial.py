@@ -111,10 +111,16 @@ class HaloSlabGrid:
         self.halo = halo
         self.n_dev = int(mesh.shape[axis])
 
-    def scatter(self, grid: jnp.ndarray) -> jnp.ndarray:
+    def scatter(self, grid) -> jnp.ndarray:
         """Full grid → per-device halo slabs, stacked on a leading device
-        axis [n_dev, slab + 2h, ...] sharded over the mesh."""
-        nz = grid.shape[0]
+        axis [n_dev, slab + 2h, ...] sharded over the mesh.
+
+        The stacking happens HOST-side (numpy) and the transfer goes
+        through ``device_put`` with the sharding attached, so the full
+        grid never materializes on any single device — grids larger than
+        one device's memory can be scattered from host RAM."""
+        host = np.asarray(grid)
+        nz = host.shape[0]
         assert nz % self.n_dev == 0, f"Z={nz} must divide over {self.n_dev}"
         slab = nz // self.n_dev
         h = self.halo
@@ -123,8 +129,8 @@ class HaloSlabGrid:
             lo = d * slab - h
             hi = (d + 1) * slab + h
             idx = np.clip(np.arange(lo, hi), 0, nz - 1)
-            pieces.append(jnp.asarray(np.asarray(grid)[idx]))
-        stacked = jnp.stack(pieces)
+            pieces.append(host[idx])
+        stacked = np.stack(pieces)
         return jax.device_put(
             stacked, NamedSharding(self.mesh, P(self.axis))
         )
