@@ -51,6 +51,21 @@ def test_scaling_harness_runs():
     assert all(r["mrays_per_s"] > 0 for r in rows)
 
 
+def test_scaling_8_devices_total_throughput_floor():
+    """8 virtual devices must not COLLAPSE total throughput: on a shared-
+    core host per-device efficiency is bounded by cores/devices, but the
+    sharded program's aggregate rate must stay within 2x of single-device
+    (a generous floor that catches collective storms / pathological
+    sharding; the committed SCALING.json artifact records the full table)."""
+    from tools import scaling
+
+    rows = scaling.measure(
+        [1, 8], width=32, height=16, subframes=2, ticks=2, resolution=16
+    )
+    assert [r["devices"] for r in rows] == [1, 8]
+    assert rows[1]["mrays_per_s"] > 0.5 * rows[0]["mrays_per_s"]
+
+
 def test_two_process_loopback_bitwise_matches_single(tmp_path):
     port = _free_port()
     nprocs = 2

@@ -7,6 +7,9 @@ Times, at the bench operating point (batch 512x512):
   (c) the full micro_step equivalent (via a fixed-length scan of the
       pathtracer loop body on a real scene).
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax
@@ -27,11 +30,18 @@ def timeit(fn, *args, n=3):
 
 
 def gather_bench(ncells, label):
-    rows = jnp.asarray(np.random.randint(0, 255, (ncells, 16), np.uint8))
+    # rows passed as an ARGUMENT (a closed-over table would embed a 268 MB
+    # constant in the HLO → axon tunnel HTTP 413) and generated ON DEVICE
+    # (a 268 MB host→device transfer through the tunnel is also fragile).
+    rows = jax.jit(
+        lambda: jax.random.randint(
+            jax.random.PRNGKey(0), (ncells, 16), 0, 255, dtype=jnp.uint8
+        )
+    )()
     idx0 = jnp.asarray(np.random.randint(0, ncells, (BATCH,), np.int32))
 
     @jax.jit
-    def run(idx):
+    def run(rows, idx):
         def body(c, _):
             idx, acc = c
             r = jnp.take(rows, idx, axis=0, mode="clip")
@@ -43,7 +53,7 @@ def gather_bench(ncells, label):
         (idx, acc), _ = jax.lax.scan(body, (idx, jnp.zeros(BATCH)), None, length=ITERS)
         return acc
 
-    dt = timeit(run, idx0)
+    dt = timeit(run, rows, idx0)
     per_row = dt / (BATCH * ITERS)
     print(f"{label}: {dt*1e3:.1f} ms/{ITERS} iters -> {per_row*1e9:.2f} ns/row, "
           f"{BATCH*ITERS/dt/1e6:.0f} Mrows/s, {BATCH*ITERS*16/dt/1e9:.1f} GB/s effective")

@@ -6,6 +6,9 @@ Variants (same megabatch of 512*512*2 rays, distinct subframe ids):
   C) A + Welford merge tail (= render_tick exactly)
   D) full ProgressiveRenderer.tick()
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import functools
 import time
 

@@ -88,11 +88,17 @@ def main(argv=None):
     rows = measure(counts, args.width, args.height, args.subframes, args.ticks)
     import jax
 
+    import os
+
     result = {
         "platform": jax.devices()[0].platform,
+        "host_cores": os.cpu_count(),
         "note": (
-            "virtual CPU mesh: functional scaling only (devices share host "
-            "cores)" if jax.devices()[0].platform == "cpu" else "real devices"
+            "virtual CPU mesh: functional scaling only (all virtual devices "
+            "share the host cores, so per-device efficiency is bounded by "
+            "host_cores/devices; the meaningful signal is that TOTAL "
+            "throughput rises with device count and the sharded program is "
+            "correct)" if jax.devices()[0].platform == "cpu" else "real devices"
         ),
         "rows": rows,
     }
