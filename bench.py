@@ -1,8 +1,17 @@
 """Benchmark: Mrays/s per chip at the BASELINE.json operating point —
 512x512 multi-scatter progressive path tracing (reference-parity estimator:
-sample step 1/512, MAX_DEPTH 2000, NEE each bounce, no Russian roulette).
+sample step 1/512, MAX_DEPTH 2000, NEE each bounce, no Russian roulette) —
+at BOTH a 64^3 (cache-resident) and a 256^3 (reference-scale, HBM-resident)
+cloud grid.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
+``value`` is the 256^3 (reference-scale) figure and the extra keys carry the
+64^3 figure and the ROOFLINE accounting: the deferred march loop is
+gather-bound (every march step fetches one fused 16-byte density+inscatter
+row; see config.CloudRendering.march_deferred), so the speed-of-light bound
+is the measured raw row-gather ceiling at the same table size.  The render's
+achieved rows/s over that ceiling is the %-of-roofline — the falsifiable
+"how far from speed of light" number BASELINE.md calls for.
 
 "Rays" counts primary rays (pixels x subframes); every ray is a full
 multiple-scattering path.  ``_ANCHOR_MRAYS`` is this repo's round-1
@@ -14,18 +23,20 @@ import json
 import sys
 import time
 
-#: Round-1 anchor, measured on TPU v5e (see BASELINE.md: the reference has
-#: no published numbers, so the baseline is our own first measurement).
+#: Round-1 anchor, measured on TPU v5e at 64^3 (see BASELINE.md: the
+#: reference has no published numbers, so the baseline is our own first
+#: measurement).
 _ANCHOR_MRAYS = 0.043
 
+#: Minimum measured wall-clock per configuration (driver requirement: a
+#: bench short enough to be noise is not a bench).
+_MIN_SECONDS = 10.0
 
-def main() -> None:
+
+def _measure(res: int, report_stats: bool) -> dict:
     import jax
     import jax.numpy as jnp
-
-    from deepestscatter_tpu.utils.cache import enable_persistent_cache
-
-    enable_persistent_cache()
+    import numpy as np
 
     from deepestscatter_tpu import scene as scene_mod
     from deepestscatter_tpu.config import (
@@ -36,7 +47,8 @@ def main() -> None:
         SceneConfig,
     )
     from deepestscatter_tpu.data import procedural
-    from deepestscatter_tpu.render import inscatter
+    from deepestscatter_tpu.render import camera as camera_ops
+    from deepestscatter_tpu.render import inscatter, pathtracer
     from deepestscatter_tpu.render.progressive import ProgressiveRenderer
 
     width = height = 512
@@ -50,14 +62,20 @@ def main() -> None:
         # inScatter.cu:65) and gather ~2x faster than float32 rows.
         rendering=CloudRendering(march_dtype="uint8"),
     )
-    density = procedural.cumulus(resolution=64, seed=11)
+    density = procedural.cumulus(resolution=res, seed=11)
     params, static = scene_mod.build_scene(cfg, density)
     params = inscatter.with_baked_inscatter(params, static)
 
     renderer = ProgressiveRenderer(cfg, params, static, seed=1)
     renderer.tick()  # warmup: compile + first execution
 
-    n_ticks = 2
+    # Calibrate tick count to >= _MIN_SECONDS of measured work.
+    t0 = time.time()
+    renderer.tick()
+    jax.block_until_ready(renderer.state.mean)
+    per_tick = time.time() - t0
+    n_ticks = max(2, int(_MIN_SECONDS / per_tick) + 1)
+
     t0 = time.time()
     for _ in range(n_ticks):
         renderer.tick()
@@ -67,19 +85,108 @@ def main() -> None:
     mean = float(renderer.hdr_image().mean())
     if not (0.1 < mean < 10.0):
         print(
-            f"SANITY FAIL: image mean {mean} outside plausible range",
+            f"SANITY FAIL ({res}^3): image mean {mean} outside plausible "
+            "range",
             file=sys.stderr,
         )
         sys.exit(1)
 
-    mrays = width * height * subframes * n_ticks / elapsed / 1e6
+    rays = width * height * subframes * n_ticks
+    out = {
+        "mrays_per_s": round(rays / elapsed / 1e6, 4),
+        "elapsed_s": round(elapsed, 1),
+        "ticks": n_ticks,
+    }
+    if not report_stats:
+        return out
+
+    # --- roofline accounting (one instrumented subframe) -------------------
+    # The deferred loop reports (cumulative march_iter calls, cumulative
+    # resolve calls, buffer size) per compaction phase; each march_iter and
+    # each resolve performs exactly ONE fused-row gather over its phase
+    # buffer, so the per-subframe gather count is exact.
+    basis = camera_ops.camera_basis(cfg.camera)
+    origins, directions = camera_ops.generate_rays(basis, width, height)
+
+    @jax.jit
+    def stats_subframe(params):
+        _, stats = pathtracer.render_subframe(
+            params, static, origins, directions, 1, jnp.int32(1),
+            with_stats=True,
+        )
+        return stats
+
+    iters, nres, bufs = map(np.asarray, stats_subframe(params))
+    d_iters = np.diff(iters, prepend=0)
+    d_nres = np.diff(nres, prepend=0)
+    rows_per_subframe = float(((d_iters + d_nres) * bufs).sum())
+    achieved_rows_s = rows_per_subframe * subframes * n_ticks / elapsed
+
+    # Raw gather ceiling at the SAME table size and row dtype: a scan of
+    # back-to-back jnp.take calls with index churn (nothing but the gather).
+    rows_tab = params.march_rows.reshape(-1, 16)
+    idx0 = jnp.asarray(
+        np.random.default_rng(0).integers(0, rows_tab.shape[0], width * height),
+        jnp.uint32,
+    )
+    iters_ceil = 100
+
+    @jax.jit
+    def raw_gather(rows_tab, idx):
+        def body(c, _):
+            idx, acc = c
+            r = jnp.take(rows_tab, idx.astype(jnp.int32), axis=0, mode="clip")
+            acc = acc + r[:, :8].astype(jnp.float32).sum(-1)
+            # LCG churn in uint32 (int32 would wrap negative and clip-clamp
+            # every lane to row 0, making the "random gather" cache-resident).
+            idx = (
+                idx * jnp.uint32(1103515245) + jnp.uint32(12345)
+            ) % jnp.uint32(rows_tab.shape[0])
+            return (idx, acc), None
+
+        (_, acc), _ = jax.lax.scan(
+            body, (idx, jnp.zeros(idx.shape[0])), None, length=iters_ceil
+        )
+        return acc
+
+    raw_gather(rows_tab, idx0).block_until_ready()
+    t0 = time.time()
+    for _ in range(3):
+        r = raw_gather(rows_tab, idx0)
+    r.block_until_ready()
+    dt = (time.time() - t0) / 3
+    ceiling_rows_s = idx0.shape[0] * iters_ceil / dt
+
+    out.update(
+        rows_per_s=round(achieved_rows_s / 1e6, 1),
+        roofline_rows_per_s=round(ceiling_rows_s / 1e6, 1),
+        pct_of_roofline=round(100.0 * achieved_rows_s / ceiling_rows_s, 1),
+    )
+    return out
+
+
+def main() -> None:
+    from deepestscatter_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    r64 = _measure(64, report_stats=False)
+    r256 = _measure(256, report_stats=True)
+
     print(
         json.dumps(
             {
-                "metric": "render_512sq_multiscatter",
-                "value": round(mrays, 4),
+                "metric": "render_512sq_multiscatter_256cube",
+                "value": r256["mrays_per_s"],
                 "unit": "Mrays/s",
-                "vs_baseline": round(mrays / _ANCHOR_MRAYS, 3),
+                "vs_baseline": round(r256["mrays_per_s"] / _ANCHOR_MRAYS, 3),
+                "grid64": r64,
+                "grid256": r256,
+                "roofline": {
+                    "Mrows_per_s_achieved": r256.get("rows_per_s"),
+                    "Mrows_per_s_ceiling": r256.get("roofline_rows_per_s"),
+                    "pct_of_gather_bound": r256.get("pct_of_roofline"),
+                },
             }
         )
     )

@@ -80,22 +80,15 @@ class CloudRendering:
     #: iteration count, so the extra lookup loses (measured); useful for
     #: sparse/scattered sample workloads.
     occupancy_skipping: bool = False
-    #: March micro-window: the path-tracing loop runs this many cheap
-    #: march/scatter micro-steps (ONE co-fetched density+inscatter row
-    #: gather each) per deferred-NEE resolve step.  Gathers dominate the
-    #: loop on TPU (~12 ns/row on v5e regardless of width), so amortizing
-    #: the second grid lookup over the window is a ~2x win.  0 selects the
-    #: legacy one-phase loop (two grid gathers per step), kept as the
-    #: equality oracle for tests.
-    march_window: int = 8
-    #: Deferred-scatter march (the round-2 fast path): per march step only
-    #: the fused grid-row gather runs; rays that scatter park as "pending"
+    #: Deferred-scatter march (the fast path): per march step only the
+    #: fused grid-row gather runs; rays that scatter park as "pending"
     #: and the per-bounce work (phase evaluation, direction inverse-CDF,
     #: NEE sun-transmittance — each a gather as expensive as the grid row,
     #: since TPU gathers are latency-bound per row at ~3 ns regardless of
     #: table size) resolves in batches once enough rays are pending.
-    #: Identical estimator and RNG draw sites; False falls back to the
-    #: windowed loop.
+    #: Identical estimator and RNG draw sites; False selects the legacy
+    #: two-gather-per-step loop, kept as the equality oracle for tests
+    #: (and as the differentiable-mode body).
     march_deferred: bool = True
     #: Steps evaluated per fetched grid row (cell-resident substeps): at
     #: sample_step 1/512 a ray takes ~(grid_res/512)^-1 steps inside one

@@ -331,7 +331,6 @@ def diff_scene(cfg: SceneConfig, scene: DiffScene, max_depth: int = 4):
     rendering = _dc.replace(
         cfg.rendering,
         max_depth=max_depth,
-        march_window=0,
         march_deferred=False,
         occupancy_skipping=False,
     )
@@ -346,7 +345,6 @@ def diff_scene(cfg: SceneConfig, scene: DiffScene, max_depth: int = 4):
             cfg.cloud.size_m / max(nx, ny, nz) / cfg.cloud.mean_free_path_m
         ),
         differentiable=True,
-        march_window=0,
         march_deferred=False,
         occupancy_skip_steps=0,
     )

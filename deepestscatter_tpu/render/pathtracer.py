@@ -328,18 +328,29 @@ def _scatter_loop_deferred(
     i = jnp.int32(0)
     nres = jnp.int32(0)
     phase_iters = []
+    phase_nres = []
     i, nres, carry = run_phase(i, nres, carry0, levels[0] if levels else 0)
     phase_iters.append(i)
+    phase_nres.append(nres)
     radiance_total = carry[6]
     for li, m in enumerate(levels):
         carry, idx, valid = compact(carry, m)
         next_stop = levels[li + 1] if li + 1 < len(levels) else 0
         i, nres, carry = run_phase(i, nres, carry, next_stop)
         phase_iters.append(i)
+        phase_nres.append(nres)
         tail = jnp.where(valid[:, None], carry[6], 0.0)
         radiance_total = radiance_total.at[idx].add(tail)
     if with_stats:
-        return radiance_total, (jnp.stack(phase_iters), nres)
+        # Cumulative (march_iter calls, resolve calls) at the end of each
+        # compaction phase; with the phase buffer sizes ([n] + levels) this
+        # reconstructs the exact fused-row gather count — the roofline
+        # numerator in bench.py.
+        return radiance_total, (
+            jnp.stack(phase_iters),
+            jnp.stack(phase_nres),
+            jnp.asarray([n] + levels, jnp.int32),
+        )
     return radiance_total
 
 
@@ -353,6 +364,7 @@ def _scatter_loop(
     ray_ids: jnp.ndarray,
     start_depth: jnp.ndarray,
     chopped_at_depth1: bool,
+    with_stats: bool = False,
 ) -> jnp.ndarray:
     """The NEE bounce loop shared by the all-scatter and multi-scatter modes.
 
@@ -376,15 +388,19 @@ def _scatter_loop(
        analog of stream compaction) into a smaller buffer and the loop
        continues there; tail radiance is scatter-added back.
 
-    ``static.march_deferred`` dispatches to ``_scatter_loop_deferred`` (the
-    round-2 fast path: cell-resident substeps + batched scatter resolves);
-    this function remains the windowed path and, at ``march_window=0``, the
-    legacy two-gather-per-step oracle.
+    ``static.march_deferred`` (the default) dispatches to
+    ``_scatter_loop_deferred`` — the fast path; this function is the legacy
+    two-gather-per-step oracle (and the differentiable-mode body).
     """
-    if static.march_deferred and static.march_window >= 1:
+    if static.march_deferred:
         return _scatter_loop_deferred(
             params, static, pos, direction, alive, seed, ray_ids,
-            start_depth, chopped_at_depth1,
+            start_depth, chopped_at_depth1, with_stats=with_stats,
+        )
+    if with_stats:
+        raise NotImplementedError(
+            "gather-count stats are a deferred-loop instrument "
+            "(march_deferred=True)"
         )
     n = pos.shape[0]
     f32 = pos.dtype
@@ -418,9 +434,8 @@ def _scatter_loop(
     od0 = rng_ops.hash_uniform(seed, ray_ids, start_depth * _DRAWS_PER_BOUNCE)
 
     # carry = (pos, direction, trans, od, depth, weight, radiance, alive,
-    #          ray_ids, seed, pend_pos, pend_factor, pend_valid) — everything
-    #          per-ray, so compaction is one tree_map gather.  The pend_*
-    #          slots hold at most one deferred NEE per ray (windowed loop).
+    #          ray_ids, seed) — everything per-ray, so compaction is one
+    #          tree_map gather.
     carry0 = (
         pos,
         direction,
@@ -432,175 +447,14 @@ def _scatter_loop(
         alive & is_in_box(pos, params.bbox_size),
         jnp.asarray(ray_ids, jnp.uint32),
         jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), (n,)),
-        jnp.zeros((n, 3), f32),
-        jnp.zeros((n,), f32),
-        jnp.zeros((n,), bool),
     )
 
-    # ---- windowed fast path state (see _windowed_body below) --------------
-    rows_grid = params.march_rows.reshape(-1, 16)
-    rows_scale = jnp.float32(scene_mod.march_rows_scale(params.march_rows))
-    nz, ny, nx = static.grid_shape
-    dims_f = jnp.asarray([nx, ny, nz], f32)
-
-    def resolve_pending(carry):
-        """Pay the deferred NEE lookups: ONE row gather for every pending
-        (cell-mismatched) scatter event accumulated over the window."""
-        (pos, direction, trans, od, depth, weight, radiance, alive,
-         ray_ids, seed, pend_pos, pend_factor, pend_valid) = carry
-        u = pend_pos / params.bbox_size
-        _, frac, ridx = grid_ops.packed_cell(u, static.grid_shape)
-        ridx = jnp.where(pend_valid, ridx, 0)
-        rows = jnp.take(rows_grid, ridx, axis=0, mode="clip")
-        trans_sun = grid_ops.trilinear_from_rows(
-            rows[:, 8:16].astype(f32) * rows_scale, frac
-        )
-        add = (pend_factor * trans_sun)[:, None] * params.light_radiance
-        radiance = radiance + jnp.where(pend_valid[:, None], add, 0.0)
-        return (pos, direction, trans, od, depth, weight, radiance, alive,
-                ray_ids, seed, pend_pos, pend_factor,
-                jnp.zeros_like(pend_valid))
-
-    def micro_step(carry, _):
-        """One march step with ONE fused (density+inscatter) row gather.
-
-        Scatter events resolve inline when the back-corrected scatter point
-        lands in the fetched cell (~87% at step = voxel/8); otherwise the
-        NEE lookup parks in the ray's pending slot for the next resolve.
-        A ray that scatters cell-mismatched while its slot is full stalls
-        (its step is reverted) until the slot drains — rare^2, exact.
-        Empty cells (all 8 density corners zero ⇒ trilinear density ≡ 0
-        across the closed cell) advance to the cell exit on the SAME step
-        lattice, which obsoletes the separate occupancy grid+gather."""
-        (pos, direction, trans, od, depth, weight, radiance, alive,
-         ray_ids, seed, pend_pos, pend_factor, pend_valid) = carry
-
-        new_pos = pos + direction * step
-        cell, frac, ridx = grid_ops.packed_cell(
-            new_pos / params.bbox_size, static.grid_shape
-        )
-        rows = jnp.take(rows_grid, ridx, axis=0, mode="clip").astype(f32)
-        dens_rows = rows[:, :8] * rows_scale
-        density = grid_ops.trilinear_from_rows(dens_rows, frac) * dm
-        trans_new = jnp.where(alive, trans * jnp.exp(-density * step), trans)
-        crossed = alive & (od > trans_new)
-        back = march_ops.back_correct_distance(od, trans_new, density)
-        scatter_pos = new_pos - direction * back[:, None]
-        in_box_scatter = is_in_box(scatter_pos, params.bbox_size)
-        scattered = crossed & in_box_scatter
-
-        s_cell, s_frac, _ = grid_ops.packed_cell(
-            scatter_pos / params.bbox_size, static.grid_shape
-        )
-        same_cell = jnp.all(s_cell == cell, axis=-1)
-
-        # NEE factor (cloud.cuh:146-158) = phase * sun-ratio * path weight;
-        # radiance add also needs trans_sun(scatter_pos) — co-fetched when
-        # same-cell, deferred otherwise.
-        chopped = (depth != 1) | jnp.bool_(chopped_at_depth1)
-        cos_light = (-params.light_dir * direction).sum(axis=-1)
-        p_full, p_chop = phase_ops.eval_phase_pair(params.phase, cos_light)
-        p = jnp.where(chopped, p_chop, p_full)
-        factor = weight * p * static.sun_solid_angle_ratio
-        trans_sun_inline = grid_ops.trilinear_from_rows(
-            rows[:, 8:16] * rows_scale, s_frac
-        )
-        resolve_now = scattered & same_cell
-        defer = scattered & ~same_cell
-        stall = defer & pend_valid
-        ok = ~stall
-        take_pend = defer & ~pend_valid
-        radiance = radiance + jnp.where(
-            resolve_now[:, None],
-            (factor * trans_sun_inline)[:, None] * params.light_radiance,
-            0.0,
-        )
-        pend_pos = jnp.where(take_pend[:, None], scatter_pos, pend_pos)
-        pend_factor = jnp.where(take_pend, factor, pend_factor)
-        pend_valid = pend_valid | take_pend
-
-        # Direction resample + free-flight reset (small VMEM-resident
-        # tables — cheap relative to the grid gather).
-        ctr = depth * _DRAWS_PER_BOUNCE
-        u_cdf = rng_ops.hash_uniform(seed, ray_ids, ctr + 1)
-        u_phi = rng_ops.hash_uniform(seed, ray_ids, ctr + 2)
-        nd = new_direction(params, direction, u_cdf, u_phi)
-        crossed_ok = crossed & ok
-        scattered_ok = scattered & ok
-        new_depth = jnp.where(crossed_ok, depth + 1, depth)
-        od_next = rng_ops.hash_uniform(
-            seed, ray_ids, new_depth * _DRAWS_PER_BOUNCE
-        )
-
-        # Exact empty-cell exit jump, staying on the step lattice.
-        if static.march_empty_skip:
-            zero_cell = dens_rows.max(axis=-1) <= 0.0
-            extra = march_ops.empty_cell_exit_steps(
-                cell, new_pos, direction, dims_f, params.bbox_size, step
-            )
-            advance = jnp.where(zero_cell & alive & ~crossed, extra, 0.0)
-            pos_after = new_pos + direction * (advance * step)[:, None]
-        else:
-            pos_after = new_pos
-
-        pos_c = jnp.where(crossed_ok[:, None], scatter_pos, pos_after)
-        dir_c = jnp.where(scattered_ok[:, None], nd, direction)
-        trans_c = jnp.where(crossed_ok, 1.0, trans_new)
-        od_c = jnp.where(crossed_ok, od_next, od)
-
-        exited = alive & ok & (~crossed) & (~is_in_box(pos_after, params.bbox_size))
-        if use_sky:
-            sky_exit = exited | (crossed_ok & ~in_box_scatter)
-            radiance = radiance + jnp.where(
-                sky_exit[:, None],
-                sky_exit_radiance(direction, depth, weight),
-                0.0,
-            )
-        dead = (
-            exited
-            | (crossed_ok & ~in_box_scatter)
-            | (crossed_ok & (new_depth >= static.max_depth))
-        )
-        if static.rr_start_depth > 0:
-            q = jnp.float32(static.rr_survival)
-            u_rr = rng_ops.hash_uniform(seed, ray_ids, ctr + 3)
-            rr_active = crossed_ok & (new_depth >= static.rr_start_depth)
-            killed = rr_active & (u_rr >= q)
-            weight = jnp.where(rr_active & ~killed, weight / q, weight)
-            dead = dead | killed
-        alive_c = alive & ~dead
-
-        # Stalled rays revert the whole step (their RNG is keyed by depth,
-        # so the retry next micro-step replays the identical draws).
-        okc = ok[:, None]
-        return (
-            jnp.where(okc, pos_c, pos),
-            jnp.where(okc, dir_c, direction),
-            jnp.where(ok, trans_c, trans),
-            jnp.where(ok, od_c, od),
-            jnp.where(ok, new_depth, depth),
-            weight,
-            radiance,
-            jnp.where(ok, alive_c, alive),
-            ray_ids,
-            seed,
-            pend_pos,
-            pend_factor,
-            pend_valid,
-        ), None
-
-    def windowed_body(state):
-        i, carry = state
-        carry, _ = jax.lax.scan(
-            micro_step, carry, None, length=static.march_window
-        )
-        return i + static.march_window, resolve_pending(carry)
-
     def body(state):
-        """Legacy one-phase body (march_window == 0): two grid gathers per
-        step.  Kept as the equality oracle for the windowed fast path."""
+        """Legacy one-phase body: two grid gathers per step.  Kept as the
+        equality oracle for the deferred fast path (and as the
+        differentiable-mode body)."""
         i, (pos, direction, trans, od, depth, weight, radiance, alive,
-            ray_ids, seed, pend_pos, pend_factor, pend_valid) = state
+            ray_ids, seed) = state
         if static.occupancy_skip_steps >= 2:
             # Empty-space skipping: a zero dilated-occupancy block certifies
             # one block of exactly-zero density ahead — advance K steps in
@@ -674,10 +528,7 @@ def _scatter_loop(
             weight = jnp.where(rr_active & ~killed, weight / q, weight)
             alive = alive & ~killed
         return i + 1, (pos, direction, trans, od, new_depth, weight,
-                       radiance, alive, ray_ids, seed,
-                       pend_pos, pend_factor, pend_valid)
-
-    phase_body = windowed_body if static.march_window >= 1 else body
+                       radiance, alive, ray_ids, seed)
 
     if static.differentiable:
         # Reverse-differentiable variant: the SAME ``body`` under a
@@ -686,9 +537,9 @@ def _scatter_loop(
         # values are identical — dead rays just no-op the remaining
         # iterations).  One phase, no compaction (``jnp.nonzero`` sizes
         # would be value-dependent).
-        assert static.march_window == 0 and not static.march_deferred, (
+        assert not static.march_deferred, (
             "differentiable mode requires the legacy oracle loop "
-            "(march_window=0, march_deferred=False)"
+            "(march_deferred=False)"
         )
 
         def scan_body(state, _):
@@ -698,13 +549,10 @@ def _scatter_loop(
             scan_body, (jnp.int32(0), carry0), None,
             length=static.max_total_steps,
         )
-        return resolve_pending(carry)[6]
+        return carry[6]
 
     def run_phase(i, carry, stop_below):
-        """while_loop until < stop_below rays stay alive (0 = until none).
-        Pending NEE slots are drained on exit so subsequent compaction
-        (which keeps only LIVE rays) cannot drop a dead ray's deferred
-        contribution."""
+        """while_loop until < stop_below rays stay alive (0 = until none)."""
 
         def cond(state):
             alive = state[1][7]
@@ -712,8 +560,7 @@ def _scatter_loop(
             enough = live >= stop_below if stop_below else live
             return jnp.logical_and(state[0] < static.max_total_steps, enough)
 
-        i, carry = jax.lax.while_loop(cond, phase_body, (i, carry))
-        return i, resolve_pending(carry)
+        return jax.lax.while_loop(cond, body, (i, carry))
 
     def compact(carry, m):
         """Gather the ≤ m live rays into an m-sized buffer.  Returns the
@@ -729,7 +576,6 @@ def _scatter_loop(
             jnp.zeros((m, 3), f32),  # fresh radiance accumulator
             small[7] & valid,
             small[8], small[9],
-            small[10], small[11], small[12] & valid,
         )
         return small, idx, valid
 
@@ -763,17 +609,20 @@ def trace_hit_radiance(
     hit: jnp.ndarray,
     seed: int,
     ray_ids: jnp.ndarray,
+    with_stats: bool = False,
 ) -> jnp.ndarray:
     """Radiance for rays that hit the cloud box, per the configured mode.
 
     ``entry_pos`` [N, 3] in local coords [0, bbox]; ``hit`` masks rays that
-    actually intersect.  Returns [N, 3].
+    actually intersect.  Returns [N, 3] (plus the deferred loop's gather
+    stats when ``with_stats``).
     """
     mode = static.mode
     if mode is RenderMode.SUN_AND_SKY_ALL_SCATTER:
         depth0 = jnp.int32(1)
         return _scatter_loop(
-            params, static, entry_pos, directions, hit, seed, ray_ids, depth0, False
+            params, static, entry_pos, directions, hit, seed, ray_ids,
+            depth0, False, with_stats=with_stats,
         )
     if mode is RenderMode.SUN_MULTIPLE_SCATTER:
         # Resample the direction before the loop so the estimate excludes
@@ -783,9 +632,14 @@ def trace_hit_radiance(
         u_phi = rng_ops.hash_uniform(seed, ray_ids, jnp.int32(1))
         directions = new_direction(params, directions, u_cdf, u_phi)
         return _scatter_loop(
-            params, static, entry_pos, directions, hit, seed, ray_ids, jnp.int32(1), True
+            params, static, entry_pos, directions, hit, seed, ray_ids,
+            jnp.int32(1), True, with_stats=with_stats,
         )
     if mode is RenderMode.SUN_SINGLE_SCATTER:
+        if with_stats:
+            raise NotImplementedError(
+                "gather stats exist for the bounce-loop modes only"
+            )
         if static.differentiable:
             raise NotImplementedError(
                 "single scatter has a dedicated differentiable quadrature "
@@ -809,6 +663,7 @@ def render_subframe(
     seed_base: int,
     subframe_id: jnp.ndarray,
     ray_ids: jnp.ndarray | None = None,
+    with_stats: bool = False,
 ) -> jnp.ndarray:
     """One full Monte-Carlo sample per ray → radiance [N, 3].
 
@@ -816,6 +671,10 @@ def render_subframe(
     box, shade misses with sun/sky, run the in-cloud estimator for hits.
     The per-subframe RNG stream folds ``subframe_id`` into the seed so every
     subframe is an independent (but reproducible) sample.
+
+    ``with_stats`` (deferred loop only) additionally returns the gather
+    accounting (cumulative march/resolve calls per compaction phase +
+    phase buffer sizes) — the instrument behind bench.py's roofline line.
     """
     n = origins.shape[0]
     if ray_ids is None:
@@ -826,7 +685,11 @@ def render_subframe(
     hit, t_hit = camera_ops.intersect_box(origins, directions, static, params.bbox_size)
     entry = origins + directions * t_hit[:, None] + 0.5 * params.bbox_size
     hit_radiance = trace_hit_radiance(
-        params, static, entry, directions, hit, seed, ray_ids
+        params, static, entry, directions, hit, seed, ray_ids,
+        with_stats=with_stats,
     )
+    if with_stats:
+        hit_radiance, stats = hit_radiance
     miss = camera_ops.miss_radiance(params, static, directions)
-    return jnp.where(hit[:, None], hit_radiance, miss)
+    out = jnp.where(hit[:, None], hit_radiance, miss)
+    return (out, stats) if with_stats else out

@@ -67,14 +67,12 @@ class SceneStatic:
     #: occupancy block (0/1 = disabled).
     occupancy_block: int = 8
     occupancy_skip_steps: int = 0
-    #: Micro-steps per deferred-NEE resolve in the path-tracing loop
-    #: (config.CloudRendering.march_window; 0 = legacy one-phase loop).
-    march_window: int = 8
-    #: Exact empty-cell exit jumps in the windowed loop (all 8 density
+    #: Exact empty-cell exit jumps in the deferred loop (all 8 density
     #: corners zero ⇒ trilinear density ≡ 0 over the closed cell).  Test
     #: hook; always a win when on.
     march_empty_skip: bool = True
-    #: Deferred-scatter march loop (config.CloudRendering.march_deferred).
+    #: Deferred-scatter march loop (config.CloudRendering.march_deferred);
+    #: False selects the legacy two-gather-per-step oracle loop.
     march_deferred: bool = True
     #: Cell-resident substeps per fetched row (resolved, never 0 here).
     march_substeps: int = 4
@@ -90,8 +88,8 @@ class SceneStatic:
     #: Differentiable-mode path tracing: the bounce loop runs as a
     #: fixed-trip-count rematerialized ``lax.scan`` of the SAME legacy body
     #: (reverse-mode differentiable) instead of ``lax.while_loop``; requires
-    #: ``march_window == 0`` and ``march_deferred == False`` (the oracle
-    #: loop), disables compaction.  Identical forward values.
+    #: ``march_deferred == False`` (the oracle loop), disables compaction.
+    #: Identical forward values.
     differentiable: bool = False
 
     @property
@@ -194,7 +192,6 @@ def build_scene(
         rr_survival=cfg.rendering.rr_survival,
         occupancy_block=occ_block,
         occupancy_skip_steps=skip_steps,
-        march_window=cfg.rendering.march_window,
         march_deferred=cfg.rendering.march_deferred,
         # Auto substeps: one fetched row serves the steps a ray takes
         # crossing one cell (~steps-per-voxel), capped so thin-cell grids

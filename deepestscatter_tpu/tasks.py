@@ -97,6 +97,14 @@ def collect(
     setups = store.table("SceneSetup")
     processed = 0
     for scene_id in range(start_scene, n_scenes):
+        if verbose:
+            # Liveness marker BEFORE the device work: a scene's first launch
+            # can spend minutes in compile + lockstep loops, and unattended
+            # runs (tools/eval_e2e.py) need to show which scene they're on.
+            print(
+                f"[collect {record_type}] scene {scene_id + 1}/{n_scenes}...",
+                flush=True,
+            )
         setup = setups.get_record(scene_id)
         batch = BatchSettings(start_id=scene_id * batch_size, size=batch_size)
         cfg, params, static = scene_from_setup(
@@ -144,7 +152,10 @@ def collect(
                 raise ValueError(f"unknown record type {record_type}")
         processed += 1
         if verbose:
-            print(f"[collect {record_type}] scene {scene_id + 1}/{n_scenes}")
+            print(
+                f"[collect {record_type}] scene {scene_id + 1}/{n_scenes} done",
+                flush=True,
+            )
     return processed
 
 

@@ -55,7 +55,6 @@ def _cfg(mode, sample_step=1.0 / 64.0, max_depth=4):
             sample_step=sample_step,
             max_depth=max_depth,
             mode=mode,
-            march_window=0,
             march_deferred=False,
         ),
     )

@@ -1,15 +1,16 @@
-"""Equivalence of the windowed path-tracing loop vs the legacy oracle.
+"""Equivalence of the deferred-scatter path-tracing loop vs the legacy oracle.
 
-The windowed fast path (render.pathtracer: ONE fused density+inscatter row
-gather per micro-step, inline same-cell NEE, deferred cell-mismatched NEE,
-exact empty-cell exit jumps) must compute the SAME estimator as the legacy
-one-phase loop (march_window=0, two grid gathers per step) — the estimator
-of the reference's cloudRadianceMaterials.cu bounce loop.  RNG draws are
-keyed by (seed, ray, depth), not by step index, so every variant replays
-identical random sequences and the images must agree to float precision
-(summation-order differences only); the empty-cell jump changes the
-positions by one fused multiply-add vs repeated adds, so it is compared
-statistically on the image mean.
+The deferred fast path (render.pathtracer._scatter_loop_deferred: ONE fused
+density+inscatter row gather per cell, cell-resident substeps, batched
+scatter resolves, exact empty-cell exit jumps) must compute the SAME
+estimator as the legacy one-phase loop (march_deferred=False, two grid
+gathers per step) — the estimator of the reference's
+cloudRadianceMaterials.cu bounce loop.  RNG draws are keyed by
+(seed, ray, depth), not by step index, so every variant replays identical
+random sequences and the images must agree to float precision (summation-
+order differences only); the empty-cell jump changes the positions by one
+fused multiply-add vs repeated adds, so it is compared statistically on
+the image mean.
 """
 
 from __future__ import annotations
@@ -54,43 +55,12 @@ def rig():
     return static, render
 
 
-def test_window_size_invariance(rig):
-    """Window length only re-batches the deferred resolves — same paths,
-    same draws, same radiance (modulo fp summation order)."""
-    static, render = rig
-    static = dataclasses.replace(static, march_deferred=False)
-    img_w8 = render(static)
-    img_w1 = render(dataclasses.replace(static, march_window=1))
-    assert np.isfinite(img_w8).all()
-    scale = np.abs(img_w8).max() + 1e-9
-    assert np.abs(img_w1 - img_w8).max() / scale < 1e-5
-
-
-def test_windowed_matches_legacy_oracle(rig):
-    """Windowed loop (skip off, identical step lattice) vs the legacy
-    two-gather loop: identical paths, per-pixel float-precision equality."""
-    static, render = rig
-    img_leg = render(
-        dataclasses.replace(static, march_window=0, march_deferred=False)
-    )
-    img_win = render(
-        dataclasses.replace(
-            static, march_window=8, march_empty_skip=False,
-            march_deferred=False,
-        )
-    )
-    scale = np.abs(img_leg).max() + 1e-9
-    assert np.abs(img_leg - img_win).max() / scale < 1e-5
-
-
 def test_deferred_matches_legacy_oracle(rig):
     """Deferred-scatter loop (skip off, identical step lattice and RNG draw
     sites) vs the legacy two-gather loop: per-pixel float-precision
     equality, for several substep/resolve-threshold settings."""
     static, render = rig
-    img_leg = render(
-        dataclasses.replace(static, march_window=0, march_deferred=False)
-    )
+    img_leg = render(dataclasses.replace(static, march_deferred=False))
     scale = np.abs(img_leg).max() + 1e-9
     for n_sub, frac in [(1, 0.5), (4, 0.5), (8, 0.25), (4, 1.0)]:
         img_def = render(

@@ -122,14 +122,14 @@ def test_paint_error_pixels_sentinel():
         assert out[bad] == np.float32(progressive.ERROR_COLOR)
 
 
-def test_legacy_and_windowed_loops_agree_with_sky():
-    """The sky exit estimator must be identical in the windowed fast path
+def test_legacy_and_deferred_loops_agree_with_sky():
+    """The sky exit estimator must be identical in the deferred fast path
     and the legacy one-phase oracle."""
     density = (np.random.default_rng(2).random((8, 8, 8)) < 0.4).astype(
         np.float32
     )
     cfg, params, static = _scene(density, sample_sky=True)
-    legacy = dataclasses.replace(static, march_window=0)
+    legacy = dataclasses.replace(static, march_deferred=False)
     o, d = _rays(256, seed=11)
     a = np.asarray(
         pathtracer.render_subframe(params, static, o, d, 2, jnp.int32(1))

@@ -277,6 +277,11 @@ def main(argv=None):
     p.add_argument("--epochs-bnn", type=int, default=30)
     p.add_argument("--skip-baked", action="store_true")
     args = p.parse_args(argv)
+    # Long unattended runs on the tunneled chip: if a device call wedges,
+    # dump all-thread tracebacks every 10 min so the hang site is in the log.
+    import faulthandler
+
+    faulthandler.dump_traceback_later(600, repeat=True)
     from deepestscatter_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -38,16 +38,17 @@ def gather_bench(ncells, label):
             jax.random.PRNGKey(0), (ncells, 16), 0, 255, dtype=jnp.uint8
         )
     )()
-    idx0 = jnp.asarray(np.random.randint(0, ncells, (BATCH,), np.int32))
+    idx0 = jnp.asarray(np.random.randint(0, ncells, (BATCH,), np.int64), jnp.uint32)
 
     @jax.jit
     def run(rows, idx):
         def body(c, _):
             idx, acc = c
-            r = jnp.take(rows, idx, axis=0, mode="clip")
+            r = jnp.take(rows, idx.astype(jnp.int32), axis=0, mode="clip")
             acc = acc + r[:, :8].astype(jnp.float32).sum(-1)
-            # churn the indices so iterations don't collapse
-            idx = (idx * 1103515245 + 12345) % ncells
+            # churn the indices so iterations don't collapse (uint32: int32
+            # would wrap negative and clip-clamp lanes to row 0)
+            idx = (idx * jnp.uint32(1103515245) + jnp.uint32(12345)) % jnp.uint32(ncells)
             return (idx, acc), None
 
         (idx, acc), _ = jax.lax.scan(body, (idx, jnp.zeros(BATCH)), None, length=ITERS)
@@ -61,9 +62,17 @@ def gather_bench(ncells, label):
 
 
 def main():
+    import json
+
+    out_json = None
+    if "--json" in sys.argv:
+        out_json = sys.argv[sys.argv.index("--json") + 1]
+    report = {"batch": BATCH, "iters": ITERS}
     print("devices:", jax.devices())
     g64 = gather_bench(64**3, "gather 64^3 (4 MB)")
     g256 = gather_bench(256**3, "gather 256^3 (268 MB)")
+    report["gather_ns_per_row_64cube"] = round(g64 * 1e9, 3)
+    report["gather_ns_per_row_256cube"] = round(g256 * 1e9, 3)
 
     # full loop cost on a real scene
     from deepestscatter_tpu import scene as scene_mod
@@ -95,6 +104,12 @@ def main():
         rays = 512 * 512 * 2
         print(f"render {res}^3: compile+first {compile_s:.1f}s, {dt:.2f} s/tick, "
               f"{rays/dt/1e6:.3f} Mrays/s, mean={float(r.hdr_image().mean()):.3f}")
+        report[f"render_mrays_{res}cube"] = round(rays / dt / 1e6, 4)
+
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {out_json}")
 
 
 if __name__ == "__main__":
