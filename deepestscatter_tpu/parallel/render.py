@@ -12,8 +12,11 @@ those data-dependent gathers would lower to cross-device collectives every
 iteration; under shard_map each device compacts its local ray shard
 independently and no communication happens until the final scalar psum.
 
-RNG is keyed by GLOBAL ray ids carried with the rays, so renders are
-bitwise identical for any device count (shard-invariance, tested in
+RNG is keyed by GLOBAL ray ids carried with the rays, so per-sample
+radiance values are bitwise identical for any device count; the per-pixel
+Welford fold ORDER varies with shard-local compaction timing when a tick
+regenerates several subframes per lane, so multi-subframe ticks agree to
+float precision and single-subframe ticks bitwise (both tested in
 tests/test_parallel.py).
 """
 
@@ -31,8 +34,11 @@ from jax import shard_map
 from ..config import ProgressiveConfig, SceneConfig
 from ..ops import welford as welford_ops
 from ..render import camera as camera_ops
-from ..render import pathtracer
-from ..render.progressive import ProgressiveState, init_state, paint_error_pixels
+from ..render.progressive import (
+    ProgressiveState,
+    init_state,
+    tick_sample_moments,
+)
 from ..scene import SceneParams, SceneStatic
 
 
@@ -51,31 +57,30 @@ def make_sharded_tick(
     """
 
     def local_tick(params, origins, directions, ray_ids, state, seed_base, cfg_arr):
-        n = origins.shape[0]
         s = n_subframes
-        ids = jnp.tile(ray_ids, s)
-        sub = state.subframe_id + 1 + jnp.arange(s, dtype=jnp.int32)
-        subframe = jnp.repeat(sub, n)
-        o = jnp.tile(origins, (s, 1))
-        d = jnp.tile(directions, (s, 1))
-        sample = pathtracer.render_subframe(
-            params, static, o, d, seed_base, subframe, ids
-        ).reshape(s, n, 3)
-        sample = paint_error_pixels(sample)
-        batch_mean = sample.mean(axis=0)
-        batch_m2 = ((sample - batch_mean) ** 2).sum(axis=0)
+        # Shared tick estimator (render.progressive.tick_sample_moments):
+        # lane regeneration on the deferred loop, legacy megabatch on the
+        # oracle — with this shard's GLOBAL ray ids, so per-sample values
+        # are bitwise device-layout-invariant (only the per-pixel Welford
+        # fold order varies with shard-local compaction timing).
+        batch_mean, batch_m2, batch_count = tick_sample_moments(
+            params, static, origins, directions, seed_base,
+            state.subframe_id, s, ray_ids=ray_ids,
+        )
         merged = welford_ops.merge(
             welford_ops.Welford(
                 state.mean, state.m2, state.subframe_id.astype(jnp.float32)
             ),
-            welford_ops.Welford(batch_mean, batch_m2, jnp.float32(s)),
+            welford_ops.Welford(batch_mean, batch_m2, batch_count),
         )
         new_state = ProgressiveState(
             merged.mean, merged.m2, state.subframe_id + s
         )
         # Per-pixel 95% CI gate on the red channel (Camera.cpp:244-255);
         # cfg_arr = (min_subframes, rel_tol, abs_tol).
-        cnt = jnp.maximum(merged.count, 1.0)  # scalar subframe count
+        cnt = jnp.maximum(
+            jnp.broadcast_to(merged.count, merged.m2.shape)[:, 0], 1.0
+        )
         sigma = jnp.sqrt(merged.m2[:, 0] / cnt)
         abs_ci = 1.96 * sigma / jnp.sqrt(cnt)
         rel_ci = abs_ci / (merged.mean[:, 0] + jnp.finfo(jnp.float32).eps)

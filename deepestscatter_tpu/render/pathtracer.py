@@ -81,13 +81,18 @@ def _scatter_loop_deferred(
     start_depth: jnp.ndarray,
     chopped_at_depth1: bool,
     with_stats: bool = False,
-) -> jnp.ndarray:
-    """Deferred-scatter NEE bounce loop — the round-2 fast path.
+    n_samples: int = 1,
+    respawn_seed_base: jnp.ndarray | None = None,
+    respawn_sub0: jnp.ndarray | int = 0,
+    resample_on_spawn: bool = False,
+    spawn_dir: jnp.ndarray | None = None,
+):
+    """Deferred-scatter NEE bounce loop with lane regeneration — the fast path.
 
-    Same estimator and RNG draw sites as ``_scatter_loop`` (below), two
+    Same estimator and RNG draw sites as ``_scatter_loop`` (below), three
     scheduling changes driven by the measured TPU cost model (gathers are
-    latency-bound at ~3 ns/row regardless of table size, so the phase-pair
-    and inverse-CDF lookups each cost as much as the grid-row gather):
+    latency-bound per row regardless of table size, so the phase-pair and
+    inverse-CDF lookups each cost as much as the grid-row gather):
 
     1. CELL-RESIDENT SUBSTEPS: one fetched density+inscatter row serves up
        to ``static.march_substeps`` consecutive march steps while the ray
@@ -98,22 +103,46 @@ def _scatter_loop_deferred(
        float sequence exactly.
     2. DEFERRED SCATTER RESOLVE: a ray that scatters parks as "pending"
        (its position already back-corrected to the scatter point) and stops
-       marching; once ``march_resolve_frac`` of the buffer is pending (or
-       no non-pending ray remains) one batched resolve performs the whole
-       per-bounce tail — NEE phase evaluation, sun-transmittance gather,
-       direction inverse-CDF sample, free-flight reset, Russian roulette —
-       whose three gathers then amortize over the bounce instead of
+       marching; once ``march_resolve_frac`` of the alive rays are pending
+       or finished (or nothing else remains) one batched resolve performs
+       the whole per-bounce tail — NEE phase evaluation, sun-transmittance
+       gather, direction inverse-CDF sample, free-flight reset, Russian
+       roulette — whose three gathers amortize over the bounce instead of
        burdening every step.
+    3. LANE REGENERATION (``n_samples > 1``): each lane owns ``n_samples``
+       independent Monte-Carlo samples of ITS ray; when a sample finishes
+       (box exit, depth cap, roulette kill) the resolve folds its radiance
+       into a per-lane Welford accumulator and respawns the lane at
+       ``(pos0, dir0)`` with the next sample's seed.  In a lockstep
+       megabatch every iteration gathers for the WHOLE buffer, so an idle
+       lane costs as much as a working one — regeneration keeps occupancy
+       ~100% until lanes exhaust their samples (the wavefront
+       "path regeneration" scheme, done here as a while_loop invariant
+       instead of a persistent-threads kernel).  Respawn seeds follow
+       ``respawn_seed_base ^ (uint32(respawn_sub0 + k) * 0x9E3779B1)`` for
+       sample k — exactly the per-subframe seeds of the legacy megabatch
+       (render_subframe), so per-sample values are bit-identical and only
+       the fp summation order differs.  ``resample_on_spawn`` redraws the
+       initial direction per sample (counters 0/1) — the multi-scatter
+       entry resample of trace_hit_radiance.
 
     RNG is keyed by (seed, ray, depth) — draws are scheduled later but take
     identical values, so images match the legacy oracle to float precision.
+
+    Returns per-lane radiance [n, 3] when ``n_samples == 1`` (the
+    trace_hit_radiance contract) or the per-lane Welford triple
+    ``(mean [n,3], m2 [n,3], count [n])`` when regenerating; with
+    ``with_stats`` a gather-accounting tuple is appended (see bench.py).
     """
     n = pos.shape[0]
     f32 = pos.dtype
     step = jnp.float32(static.sample_step)
     dm = jnp.float32(static.density_multiplier)
-    tiny = jnp.float32(1e-30)
     n_sub = static.march_substeps
+    # Respawn machinery + moments output engage whenever a respawn seed
+    # schedule is supplied (even for a 1-sample tick, whose respawns are
+    # simply never taken); bare calls keep the radiance-vector contract.
+    regen = n_samples > 1 or respawn_seed_base is not None
     use_sky = (
         static.sample_sky and static.mode is RenderMode.SUN_AND_SKY_ALL_SCATTER
     )
@@ -132,25 +161,42 @@ def _scatter_loop_deferred(
         return add * weight[:, None]
 
     od0 = rng_ops.hash_uniform(seed, ray_ids, start_depth * _DRAWS_PER_BOUNCE)
+    depth0 = jnp.broadcast_to(start_depth, (n,)).astype(jnp.int32)
+    # Respawn anchor: with resample_on_spawn the per-sample direction is
+    # redrawn around the ORIGINAL ray direction, which then differs from the
+    # (already resampled) initial ``direction``.
+    dir_anchor = direction if spawn_dir is None else spawn_dir
+    # carry = (0 pos, 1 dirn, 2 trans, 3 od, 4 depth, 5 weight,
+    #          6 radiance-of-current-sample, 7 alive, 8 pending, 9 ray_ids,
+    #          10 seed, 11 finished, 12 w_mean, 13 w_m2, 14 w_count,
+    #          15 nsamp, 16 pos0, 17 dir0)
     carry0 = (
         pos,
         direction,
         jnp.ones((n,), f32),
         od0,
-        jnp.broadcast_to(start_depth, (n,)).astype(jnp.int32),
+        depth0,
         jnp.ones((n,), f32),
         jnp.zeros((n, 3), f32),
         alive & is_in_box(pos, params.bbox_size),
-        jnp.zeros((n,), bool),  # pending
+        jnp.zeros((n,), bool),  # pending (scattered, awaiting bounce tail)
         jnp.asarray(ray_ids, jnp.uint32),
         jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), (n,)),
+        jnp.zeros((n,), bool),  # finished (sample done, awaiting fold)
+        jnp.zeros((n, 3), f32),  # w_mean
+        jnp.zeros((n, 3), f32),  # w_m2
+        jnp.zeros((n,), f32),  # w_count (current Welford chunk)
+        jnp.zeros((n,), jnp.int32),  # nsamp (samples completed, total)
+        pos,
+        dir_anchor,
     )
 
     def march_iter(carry):
         """ONE row gather + up to ``n_sub`` march steps inside that cell."""
         (pos, dirn, trans, od, depth, weight, radiance, alive, pending,
-         ray_ids, seed) = carry
-        active = alive & ~pending
+         ray_ids, seed, finished, w_mean, w_m2, w_count, nsamp,
+         pos0, dir0) = carry
+        active = alive & ~pending & ~finished
         first = pos + dirn * step
         cell0, _, ridx0 = grid_ops.packed_cell(
             first / params.bbox_size, static.grid_shape
@@ -179,14 +225,17 @@ def _scatter_loop_deferred(
             )
             trans = trans_new
             pending = pending | (crossed & in_box_s)
+            fin_evt = exited | (crossed & ~in_box_s)
             if use_sky:
-                sky_exit = exited | (crossed & ~in_box_s)
                 radiance = radiance + jnp.where(
-                    sky_exit[:, None],
+                    fin_evt[:, None],
                     sky_exit_radiance(dirn, depth, weight),
                     0.0,
                 )
-            alive = alive & ~(exited | (crossed & ~in_box_s))
+            # A sample that leaves the box is DONE but its lane is not: it
+            # parks as finished until the next resolve folds (and, when
+            # regenerating, respawns) it.
+            finished = finished | fin_evt
             live = ok & ~crossed & inb
             cur = jnp.where(ok[:, None], newp, cur)
 
@@ -201,14 +250,17 @@ def _scatter_loop_deferred(
             advance = jnp.where(zero_cell & live, extra, 0.0)
             pos = pos + dirn * (advance * step)[:, None]
         return (pos, dirn, trans, od, depth, weight, radiance, alive,
-                pending, ray_ids, seed)
+                pending, ray_ids, seed, finished, w_mean, w_m2, w_count,
+                nsamp, pos0, dir0)
 
     def resolve(carry):
-        """Batched per-bounce tail for every pending ray: NEE + direction
-        resample + free-flight reset (the reference's per-scatter work,
-        cloudRadianceMaterials.cu:28-63, batched across rays)."""
+        """Batched per-bounce tail for every pending ray (NEE + direction
+        resample + free-flight reset — the reference's per-scatter work,
+        cloudRadianceMaterials.cu:28-63, batched across rays) + the fold/
+        respawn of finished samples."""
         (pos, dirn, trans, od, depth, weight, radiance, alive, pending,
-         ray_ids, seed) = carry
+         ray_ids, seed, finished, w_mean, w_m2, w_count, nsamp,
+         pos0, dir0) = carry
         pend = pending & alive
         chopped = (depth != 1) | jnp.bool_(chopped_at_depth1)
         cos_light = (-params.light_dir * dirn).sum(axis=-1)
@@ -246,9 +298,57 @@ def _scatter_loop_deferred(
             killed = rr_active & (u_rr >= q)
             weight = jnp.where(rr_active & ~killed, weight / q, weight)
             dead = dead | killed
-        alive = alive & ~dead
-        return (pos, dirn, trans, od, new_depth, weight, radiance, alive,
-                jnp.zeros_like(pending), ray_ids, seed)
+        depth = new_depth
+
+        # Fold every finished sample into the lane's Welford chunk
+        # (progressive.cu:17-27 semantics, applied per lane).
+        fold = (finished | dead) & alive
+        cnt_new = w_count + fold.astype(f32)
+        nsafe = jnp.maximum(cnt_new, 1.0)
+        delta = radiance - w_mean
+        mean_new = w_mean + delta / nsafe[:, None]
+        m2_new = w_m2 + delta * (radiance - mean_new)
+        w_mean = jnp.where(fold[:, None], mean_new, w_mean)
+        w_m2 = jnp.where(fold[:, None], m2_new, w_m2)
+        w_count = jnp.where(fold, cnt_new, w_count)
+        nsamp = nsamp + fold.astype(jnp.int32)
+
+        if regen:
+            # Respawn lanes with samples remaining; the seed schedule is the
+            # legacy megabatch's per-subframe seed, so draws are identical.
+            respawn = fold & (nsamp < n_samples)
+            seed_new = jnp.asarray(respawn_seed_base, jnp.uint32) ^ (
+                (jnp.asarray(respawn_sub0, jnp.int32) + nsamp).astype(
+                    jnp.uint32
+                )
+                * jnp.uint32(0x9E3779B1)
+            )
+            if resample_on_spawn:
+                u0 = rng_ops.hash_uniform(seed_new, ray_ids, jnp.int32(0))
+                u1 = rng_ops.hash_uniform(seed_new, ray_ids, jnp.int32(1))
+                d_spawn = new_direction(params, dir0, u0, u1)
+            else:
+                d_spawn = dir0
+            od_spawn = rng_ops.hash_uniform(
+                seed_new, ray_ids, start_depth * _DRAWS_PER_BOUNCE
+            )
+            pos = jnp.where(respawn[:, None], pos0, pos)
+            dirn = jnp.where(respawn[:, None], d_spawn, dirn)
+            trans = jnp.where(respawn, 1.0, trans)
+            od = jnp.where(respawn, od_spawn, od)
+            depth = jnp.where(
+                respawn, jnp.asarray(start_depth, jnp.int32), depth
+            )
+            weight = jnp.where(respawn, 1.0, weight)
+            radiance = jnp.where(respawn[:, None], 0.0, radiance)
+            seed = jnp.where(respawn, seed_new, seed)
+            alive = alive & ~(fold & ~respawn)
+        else:
+            alive = alive & ~fold
+        finished = finished & ~fold
+        return (pos, dirn, trans, od, depth, weight, radiance, alive,
+                jnp.zeros_like(pending), ray_ids, seed, finished,
+                w_mean, w_m2, w_count, nsamp, pos0, dir0)
 
     def loop_body(state):
         i, nres, carry = state
@@ -261,16 +361,14 @@ def _scatter_loop_deferred(
             )
         else:
             carry = march_iter(carry)
-        alive, pending = carry[7], carry[8]
-        pend_n = jnp.count_nonzero(pending & alive)
+        alive, pending, finished = carry[7], carry[8], carry[11]
+        pend_n = jnp.count_nonzero((pending | finished) & alive)
         alive_n = jnp.count_nonzero(alive)
-        # Resolve when pending rays are a ``march_resolve_frac`` share of
-        # the rays still ALIVE (not of the buffer: late in a phase a small
-        # active tail must not stall a large pending population), or when
-        # nothing but pending rays remains.
-        # ``pend_n == alive_n`` is an explicit trigger so a misconfigured
-        # frac > 1.0 can never leave pending rays spinning to the iteration
-        # cap (which would silently drop their bounce-tail radiance).
+        # Resolve when parked lanes (pending scatters + finished samples)
+        # are a ``march_resolve_frac`` share of the rays still ALIVE (not of
+        # the buffer: late in a phase a small active tail must not stall a
+        # large parked population), or when nothing but parked rays remains
+        # (the backstop that makes a misconfigured frac > 1.0 harmless).
         frac = jnp.float32(static.march_resolve_frac)
         need = (
             (pend_n.astype(jnp.float32) >= alive_n.astype(jnp.float32) * frac)
@@ -284,12 +382,13 @@ def _scatter_loop_deferred(
         )
 
     # Safety cap: unlike the flat loop (whose iterations all march), an
-    # iteration here may only serve OTHER rays while a pending ray stalls,
+    # iteration here may only serve OTHER rays while a parked ray stalls,
     # so the bound is the wavefront one — every bounce round is at most one
-    # full box crossing.  Real termination is "no ray alive"; the cap only
-    # guards runaway loops (the legacy max_total_steps cap truncated
-    # stalled paths and lost their tail radiance).
-    max_iters = (static.max_depth + 1) * (static.max_march_steps + 1)
+    # full box crossing, times the samples a lane owns.  Real termination is
+    # "no ray alive"; the cap only guards runaway loops.
+    max_iters = (
+        (static.max_depth + 1) * (static.max_march_steps + 1) * n_samples
+    )
 
     def run_phase(i, nres, carry, stop_below):
         def cond(state):
@@ -301,23 +400,52 @@ def _scatter_loop_deferred(
         return jax.lax.while_loop(cond, loop_body, (i, nres, carry))
 
     def compact(carry, m):
+        """Gather the ≤ m live lanes into an m-sized buffer.  The in-flight
+        sample state (radiance, depth, nsamp, spawn anchors) travels with
+        the lane; the Welford chunk restarts at zero and is merged back
+        into the full-buffer stats when the phase ends."""
         alive = carry[7]
         idx = jnp.nonzero(alive, size=m, fill_value=0)[0]
         valid = jnp.arange(m, dtype=jnp.int32) < jnp.count_nonzero(alive)
         small = jax.tree.map(lambda a: a[idx], carry)
         small = (
             small[0], small[1], small[2], small[3], small[4], small[5],
-            jnp.zeros((m, 3), f32),  # fresh radiance accumulator
-            small[7] & valid,
-            small[8] & valid,
-            small[9], small[10],
+            small[6],
+            small[7] & valid, small[8] & valid, small[9], small[10],
+            small[11] & valid,
+            jnp.zeros((m, 3), f32),  # fresh w_mean chunk
+            jnp.zeros((m, 3), f32),  # fresh w_m2 chunk
+            jnp.zeros((m,), f32),  # fresh w_count chunk
+            small[15], small[16], small[17],
         )
         return small, idx, valid
 
-    # Compaction cascade: deeper than the windowed loop's (the deferred
-    # tail — deep-diffusion paths with Russian roulette off — runs
-    # thousands of iterations whose cost is all fixed overhead once the
-    # buffer is small; each /8 level cuts that).
+    def merge_back(w_mean, w_m2, w_count, carry, idx, valid):
+        """Per-lane Welford merge of the compacted phase's chunk into the
+        full-buffer stats (duplicated fill indices write out-of-range and
+        drop, so only valid lanes merge)."""
+        c_mean, c_m2, c_cnt = carry[12], carry[13], carry[14]
+        idx_safe = jnp.where(valid, idx, n)
+        a_mean = w_mean[idx]
+        a_m2 = w_m2[idx]
+        a_cnt = w_count[idx]
+        tot = a_cnt + c_cnt
+        safe = jnp.maximum(tot, 1.0)
+        w = (c_cnt / safe)[:, None]
+        new_mean = a_mean + (c_mean - a_mean) * w
+        new_m2 = (
+            a_m2 + c_m2
+            + (c_mean - a_mean) ** 2 * ((a_cnt * c_cnt / safe)[:, None])
+        )
+        w_mean = w_mean.at[idx_safe].set(new_mean, mode="drop")
+        w_m2 = w_m2.at[idx_safe].set(new_m2, mode="drop")
+        w_count = w_count.at[idx_safe].set(tot, mode="drop")
+        return w_mean, w_m2, w_count
+
+    # Compaction cascade: the tail — deep-diffusion paths (and, when
+    # regenerating, the last unfinished samples) — runs thousands of
+    # iterations whose cost is all fixed overhead once the buffer is small;
+    # each /8 level cuts that.
     levels = []
     m = n
     while m >= 8192:
@@ -332,26 +460,32 @@ def _scatter_loop_deferred(
     i, nres, carry = run_phase(i, nres, carry0, levels[0] if levels else 0)
     phase_iters.append(i)
     phase_nres.append(nres)
-    radiance_total = carry[6]
+    w_mean, w_m2, w_count = carry[12], carry[13], carry[14]
     for li, m in enumerate(levels):
         carry, idx, valid = compact(carry, m)
         next_stop = levels[li + 1] if li + 1 < len(levels) else 0
         i, nres, carry = run_phase(i, nres, carry, next_stop)
         phase_iters.append(i)
         phase_nres.append(nres)
-        tail = jnp.where(valid[:, None], carry[6], 0.0)
-        radiance_total = radiance_total.at[idx].add(tail)
+        w_mean, w_m2, w_count = merge_back(
+            w_mean, w_m2, w_count, carry, idx, valid
+        )
+    if regen:
+        out = (w_mean, w_m2, w_count)
+    else:
+        # One sample per lane: the folded mean IS the sample radiance.
+        out = w_mean
     if with_stats:
         # Cumulative (march_iter calls, resolve calls) at the end of each
         # compaction phase; with the phase buffer sizes ([n] + levels) this
         # reconstructs the exact fused-row gather count — the roofline
         # numerator in bench.py.
-        return radiance_total, (
+        return out, (
             jnp.stack(phase_iters),
             jnp.stack(phase_nres),
             jnp.asarray([n] + levels, jnp.int32),
         )
-    return radiance_total
+    return out
 
 
 def _scatter_loop(
@@ -693,3 +827,85 @@ def render_subframe(
     miss = camera_ops.miss_radiance(params, static, directions)
     out = jnp.where(hit[:, None], hit_radiance, miss)
     return (out, stats) if with_stats else out
+
+
+def trace_tick_moments(
+    params: SceneParams,
+    static: SceneStatic,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    seed_base,
+    sub0: jnp.ndarray,
+    n_subframes: int,
+    ray_ids: jnp.ndarray | None = None,
+):
+    """Per-pixel Welford moments of ``n_subframes`` independent samples via
+    lane regeneration — the progressive tick's estimator core.
+
+    ``ray_ids`` defaults to 0..N-1; the shard_map'd tick passes each
+    shard's GLOBAL ids so RNG streams are device-layout-invariant.
+
+    Replaces the S x N megabatch (tile the rays ``n_subframes`` times, run
+    one giant lockstep loop): the buffer here is ONE lane per pixel and a
+    lane whose sample finishes respawns in place with the next subframe's
+    seed, so every lockstep row gather stays ~100% useful instead of idling
+    on dead lanes (the reference's persistent-thread GPU loop has no such
+    problem; this is its TPU counterpart).  Per-sample radiance values are
+    bit-identical to ``render_subframe``'s — same (seed, ray, depth)-keyed
+    draws — only the fp summation order differs.
+
+    Returns ``(mean [N,3], m2 [N,3], count [N])`` over the tick's samples.
+    """
+    if not static.march_deferred:
+        raise NotImplementedError(
+            "lane regeneration is a deferred-loop feature "
+            "(march_deferred=True); use render_subframe megabatches with "
+            "the oracle loop"
+        )
+    n = origins.shape[0]
+    if ray_ids is None:
+        ray_ids = jnp.arange(n, dtype=jnp.uint32)
+    sub0 = jnp.asarray(sub0, jnp.int32)
+    seed0 = jnp.uint32(seed_base) ^ (
+        (sub0 + 1).astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+    )
+    hit, t_hit = camera_ops.intersect_box(
+        origins, directions, static, params.bbox_size
+    )
+    entry = origins + directions * t_hit[:, None] + 0.5 * params.bbox_size
+    mode = static.mode
+    if mode is RenderMode.SUN_AND_SKY_ALL_SCATTER:
+        dirs_init, resample, chopped = directions, False, False
+    elif mode is RenderMode.SUN_MULTIPLE_SCATTER:
+        u0 = rng_ops.hash_uniform(seed0, ray_ids, jnp.int32(0))
+        u1 = rng_ops.hash_uniform(seed0, ray_ids, jnp.int32(1))
+        dirs_init = new_direction(params, directions, u0, u1)
+        resample, chopped = True, True
+    else:
+        raise NotImplementedError(
+            "tick moments exist for the bounce-loop modes only"
+        )
+    mean, m2, cnt = _scatter_loop_deferred(
+        params,
+        static,
+        entry,
+        dirs_init,
+        hit,
+        seed0,
+        ray_ids,
+        jnp.int32(1),
+        chopped,
+        n_samples=n_subframes,
+        respawn_seed_base=jnp.uint32(seed_base),
+        respawn_sub0=sub0 + 1,
+        resample_on_spawn=resample,
+        spawn_dir=directions if resample else None,
+    )
+    # Box-missing pixels shade the deterministic sun/sky miss program every
+    # subframe: mean = miss, zero variance.
+    miss = camera_ops.miss_radiance(params, static, directions)
+    s = jnp.float32(n_subframes)
+    mean = jnp.where(hit[:, None], mean, miss)
+    m2 = jnp.where(hit[:, None], m2, 0.0)
+    cnt = jnp.where(hit, cnt, s)
+    return mean, m2, cnt

@@ -69,6 +69,53 @@ def unconverged_count(
     return (~converged).sum()
 
 
+def tick_sample_moments(
+    params: SceneParams,
+    static: SceneStatic,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    seed_base,
+    sub0: jnp.ndarray,
+    n_subframes: int,
+    ray_ids: Optional[jnp.ndarray] = None,
+):
+    """Welford moments ``(mean [N,3], m2 [N,3], count [N,1])`` of one tick's
+    fresh samples — shared by the single-device and shard_map'd ticks.
+
+    Deferred loop (default): lane regeneration (ONE lane per pixel, finished
+    samples respawn in place — pathtracer.trace_tick_moments) keeps lockstep
+    row gathers ~100% occupied.  Oracle loop: the legacy S x N megabatch.
+    Per-sample values are bit-identical between the two (same
+    (seed, ray, depth)-keyed draws); only fp summation order differs.
+    """
+    n = origins.shape[0]
+    s = n_subframes
+    if static.march_deferred:
+        mean_c, m2_c, cnt = pathtracer.trace_tick_moments(
+            params, static, origins, directions, seed_base, sub0, s,
+            ray_ids=ray_ids,
+        )
+        return (
+            paint_error_pixels(mean_c),
+            paint_error_pixels(m2_c),
+            cnt[:, None],
+        )
+    ids = jnp.tile(
+        ray_ids if ray_ids is not None else jnp.arange(n, dtype=jnp.uint32), s
+    )
+    sub_ids = sub0 + 1 + jnp.arange(s, dtype=jnp.int32)
+    subframe = jnp.repeat(sub_ids, n)  # [S*N]
+    o = jnp.tile(origins, (s, 1))
+    d = jnp.tile(directions, (s, 1))
+    sample = pathtracer.render_subframe(
+        params, static, o, d, seed_base, subframe, ids
+    ).reshape(s, n, 3)
+    sample = paint_error_pixels(sample)
+    batch_mean = sample.mean(axis=0)
+    batch_m2 = ((sample - batch_mean) ** 2).sum(axis=0)
+    return batch_mean, batch_m2, jnp.full((n, 1), jnp.float32(s))
+
+
 @functools.partial(jax.jit, static_argnames=("static", "n_subframes", "seed_base"))
 def render_tick(
     params: SceneParams,
@@ -82,29 +129,26 @@ def render_tick(
     """Accumulate ``n_subframes`` new Monte-Carlo samples into the state
     (the reference renders 10 subframes per display tick, Camera.cpp:189-200).
 
-    TPU-native shape: the subframes are folded into the ray batch (one
-    megabatch of ``n_subframes × n_rays`` independent samples — maximum
-    parallelism for the flat path-tracing loop) and merged into the running
-    Welford state with the exact pairwise merge, which is algebraically
-    identical to the reference's sequential per-subframe update."""
-    n = origins.shape[0]
+    TPU-native shape (deferred loop, the default): ONE lane per pixel with
+    lane regeneration — a lane whose sample finishes respawns in place with
+    the next subframe's seed (pathtracer.trace_tick_moments), so lockstep
+    row gathers stay ~100% occupied.  Per-sample values are bit-identical
+    to the legacy megabatch (same (seed, ray, depth)-keyed draws); only fp
+    summation order differs.  With the oracle loop (march_deferred=False)
+    the subframes are folded into one ``n_subframes × n_rays`` megabatch
+    instead.  Both merge into the running Welford state with the exact
+    pairwise merge, algebraically identical to the reference's sequential
+    per-subframe update."""
     s = n_subframes
-    ray_ids = jnp.tile(jnp.arange(n, dtype=jnp.uint32), s)
-    sub_ids = state.subframe_id + 1 + jnp.arange(s, dtype=jnp.int32)
-    subframe = jnp.repeat(sub_ids, n)  # [S*N]
-    o = jnp.tile(origins, (s, 1))
-    d = jnp.tile(directions, (s, 1))
-    sample = pathtracer.render_subframe(
-        params, static, o, d, seed_base, subframe, ray_ids
-    ).reshape(s, n, 3)
-    sample = paint_error_pixels(sample)
-    batch_mean = sample.mean(axis=0)
-    batch_m2 = ((sample - batch_mean) ** 2).sum(axis=0)
+    batch_mean, batch_m2, batch_count = tick_sample_moments(
+        params, static, origins, directions, seed_base,
+        state.subframe_id, s,
+    )
     merged = welford_ops.merge(
         welford_ops.Welford(
             state.mean, state.m2, state.subframe_id.astype(jnp.float32)
         ),
-        welford_ops.Welford(batch_mean, batch_m2, jnp.float32(s)),
+        welford_ops.Welford(batch_mean, batch_m2, batch_count),
     )
     return ProgressiveState(merged.mean, merged.m2, state.subframe_id + s)
 

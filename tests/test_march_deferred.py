@@ -129,3 +129,39 @@ def test_uint8_rows_match_reference_quantization(rig):
     m0, m1 = float(img_f32.mean()), float(img_u8.mean())
     assert np.isfinite(img_u8).all()
     assert abs(m0 - m1) / (abs(m0) + 1e-9) < 0.1
+
+
+def test_regen_tick_matches_megabatch_oracle(rig):
+    """Lane-regeneration tick (ONE lane per pixel, finished samples respawn
+    in place — pathtracer.trace_tick_moments) vs the legacy S x N megabatch
+    tick on the oracle loop: identical per-sample draws, so mean AND m2
+    agree to float precision across consecutive ticks."""
+    import jax.numpy as jnp  # noqa: F811 (test-local)
+
+    from deepestscatter_tpu.render import camera as camera_ops
+    from deepestscatter_tpu.render import progressive as prog
+
+    static, _ = rig
+    cfg = SceneConfig(
+        cloud=CloudModel(size_m=600.0),
+        camera=CameraConfig(width=16, height=8),
+        rendering=CloudRendering(max_depth=15, sample_step=1.0 / 64.0),
+    )
+    density = procedural.cumulus(resolution=24, seed=3)
+    params, _ = scene_mod.build_scene(cfg, density)
+    params = inscatter.with_baked_inscatter(params, static)
+    basis = camera_ops.camera_basis(cfg.camera)
+    o, d = camera_ops.generate_rays(basis, 16, 8)
+    legacy = dataclasses.replace(static, march_deferred=False)
+    sa = prog.init_state(o.shape[0])
+    sb = prog.init_state(o.shape[0])
+    for _ in range(2):
+        sa = prog.render_tick(params, static, o, d, sa, seed_base=7,
+                              n_subframes=5)
+        sb = prog.render_tick(params, legacy, o, d, sb, seed_base=7,
+                              n_subframes=5)
+    scale_m = np.abs(np.asarray(sb.mean)).max() + 1e-9
+    scale_v = np.abs(np.asarray(sb.m2)).max() + 1e-9
+    assert np.abs(np.asarray(sa.mean) - np.asarray(sb.mean)).max() / scale_m < 1e-5
+    assert np.abs(np.asarray(sa.m2) - np.asarray(sb.m2)).max() / scale_v < 1e-5
+    assert int(sa.subframe_id) == int(sb.subframe_id) == 10

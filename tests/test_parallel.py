@@ -33,8 +33,11 @@ def test_mesh_uses_all_devices():
 
 
 def test_sharded_tick_matches_single_device(tiny_scene):
-    """The 8-device render must be bitwise-identical to the 1-device render:
-    RNG is keyed by global ray ids, so device layout cannot leak in."""
+    """The 8-device render vs the 1-device render: per-SAMPLE values are
+    bitwise identical (RNG keyed by global ray ids, so device layout cannot
+    leak in), but the lane-regeneration tick folds a pixel's subframes in
+    shard-local compaction order, so the multi-subframe Welford stats agree
+    to float precision rather than bitwise."""
     cfg, params, static = tiny_scene
     single = ProgressiveRenderer(cfg, params, static, seed=3)
     single.tick()
@@ -43,11 +46,33 @@ def test_sharded_tick_matches_single_device(tiny_scene):
     sharded = ShardedProgressiveRenderer(cfg, params, static, mesh, seed=3)
     sharded.tick()
 
+    np.testing.assert_allclose(
+        np.asarray(single.state.mean), np.asarray(sharded.state.mean),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.state.m2), np.asarray(sharded.state.m2),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_single_subframe_tick_bitwise_shard_invariant(tiny_scene):
+    """With ONE subframe per tick there is no fold-order freedom: each lane
+    folds exactly once, so the 8-device state must be bitwise equal to the
+    1-device state."""
+    import dataclasses
+
+    cfg, params, static = tiny_scene
+    cfg1 = dataclasses.replace(
+        cfg,
+        progressive=dataclasses.replace(cfg.progressive, subframes_per_tick=1),
+    )
+    single = ProgressiveRenderer(cfg1, params, static, seed=3)
+    single.tick()
+    sharded = ShardedProgressiveRenderer(cfg1, params, static, make_mesh(), seed=3)
+    sharded.tick()
     np.testing.assert_array_equal(
         np.asarray(single.state.mean), np.asarray(sharded.state.mean)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(single.state.m2), np.asarray(sharded.state.m2)
     )
 
 
