@@ -19,6 +19,7 @@ measurement on one TPU v5 lite chip (the reference publishes no numbers —
 BASELINE.md), so vs_baseline tracks improvement across rounds.
 """
 
+import functools
 import json
 import sys
 import time
@@ -100,27 +101,41 @@ def _measure(res: int, report_stats: bool) -> dict:
     if not report_stats:
         return out
 
-    # --- roofline accounting (one instrumented subframe) -------------------
+    # --- roofline accounting (one instrumented tick) -----------------------
     # The deferred loop reports (cumulative march_iter calls, cumulative
     # resolve calls, buffer size) per compaction phase; each march_iter and
     # each resolve performs exactly ONE fused-row gather over its phase
-    # buffer, so the per-subframe gather count is exact.
+    # buffer, so the gather count is exact.  The instrument mirrors the
+    # renderer's real execution: the same lane-band partition (bounded
+    # device calls on HBM-resident grids) and the same lane-regeneration
+    # tick, summed over bands.
     basis = camera_ops.camera_basis(cfg.camera)
     origins, directions = camera_ops.generate_rays(basis, width, height)
+    n = origins.shape[0]
+    m = renderer._lanes_per_call()
+    ids = jnp.arange(n, dtype=jnp.uint32)
 
-    @jax.jit
-    def stats_subframe(params):
-        _, stats = pathtracer.render_subframe(
-            params, static, origins, directions, 1, jnp.int32(1),
+    @functools.partial(jax.jit, static_argnames=("s",))
+    def band_stats(params, o, d, rid, s):
+        _, stats = pathtracer.trace_tick_moments(
+            params, static, o, d, 1, jnp.int32(0), s, ray_ids=rid,
             with_stats=True,
         )
         return stats
 
-    iters, nres, bufs = map(np.asarray, stats_subframe(params))
-    d_iters = np.diff(iters, prepend=0)
-    d_nres = np.diff(nres, prepend=0)
-    rows_per_subframe = float(((d_iters + d_nres) * bufs).sum())
-    achieved_rows_s = rows_per_subframe * subframes * n_ticks / elapsed
+    rows_per_tick = 0.0
+    for lo in range(0, n, m):
+        iters, nres, bufs = map(
+            np.asarray,
+            band_stats(
+                params, origins[lo:lo + m], directions[lo:lo + m],
+                ids[lo:lo + m], subframes,
+            ),
+        )
+        d_iters = np.diff(iters, prepend=0)
+        d_nres = np.diff(nres, prepend=0)
+        rows_per_tick += float(((d_iters + d_nres) * bufs).sum())
+    achieved_rows_s = rows_per_tick * n_ticks / elapsed
 
     # Raw gather ceiling at the SAME table size and row dtype: a scan of
     # back-to-back jnp.take calls with index churn (nothing but the gather).

@@ -149,7 +149,9 @@ def _bucket_size(n_active: int) -> int:
 _MAX_RAYS_PER_CALL = 1 << 20
 
 
-@functools.partial(jax.jit, static_argnames=("static", "n_experiments"))
+@functools.partial(
+    jax.jit, static_argnames=("static", "replicas", "launches")
+)
 def _radiance_launch(
     params: SceneParams,
     static: SceneStatic,
@@ -159,34 +161,67 @@ def _radiance_launch(
     exp_base: jnp.ndarray,  # [bucket] uint32 first experiment index
     seed: jnp.ndarray,  # uint32 scalar
     *,
-    n_experiments: int,
+    replicas: int,
+    launches: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Trace ``bucket * n_experiments`` independent experiments in ONE
-    megabatch render call → per-point moment sums (Σx, Σx²).
+    """Trace ``bucket * replicas * launches`` independent experiments with
+    LANE REGENERATION → per-point moment sums (Σx, Σx²).
 
     The reference runs 100 sequential launches over replicated tasks per
-    update (RadianceCollector.cpp:88-96); sequential small launches
-    underutilize a TPU, so the experiment axis folds into the ray batch
-    (the path tracer's compaction cascade keeps finished lanes cheap).  RNG
-    keying is unchanged: (seed, sample id, global experiment index)."""
+    update (RadianceCollector.cpp:88-96).  Here each lane is a (point,
+    replica) pair that runs its ``launches`` experiments back to back —
+    when one finishes, the lane respawns at the point's entry with the next
+    experiment's seed (pathtracer lane regeneration), so the lockstep
+    megabatch stays ~100% occupied through the deep-diffusion tail instead
+    of idling on finished lanes.  RNG keying is unchanged — (seed, sample
+    id, global experiment index), experiment index = exp_base +
+    replica * launches + k — so every per-experiment radiance value is
+    bit-identical to the tiled-megabatch formulation; only the fp order of
+    the moment sums differs."""
     bucket = entry.shape[0]
-    o = jnp.tile(entry, (n_experiments, 1))
-    d = jnp.tile(direction, (n_experiments, 1))
-    ids_t = jnp.tile(rids, n_experiments)
-    k = jnp.repeat(jnp.arange(n_experiments, dtype=jnp.uint32), bucket)
-    exp_idx = jnp.tile(exp_base, n_experiments) + k
-    seeds = seed ^ (exp_idx * jnp.uint32(0x9E3779B1))
-    radiance = pathtracer.trace_hit_radiance(
+    o = jnp.tile(entry, (replicas, 1))
+    d = jnp.tile(direction, (replicas, 1))
+    ids_t = jnp.tile(rids, replicas)
+    r = jnp.repeat(
+        jnp.arange(replicas, dtype=jnp.uint32) * jnp.uint32(launches), bucket
+    )
+    sub0 = jnp.tile(exp_base, replicas) + r  # [bucket*replicas]
+    seed0 = seed ^ (sub0 * jnp.uint32(0x9E3779B1))
+    rstatic = static
+    resample = static.mode is RenderMode.SUN_MULTIPLE_SCATTER
+    if resample:
+        # The multi-scatter estimator resamples the direction before the
+        # loop (cloudRadianceMaterials.cu:72-115) — per experiment, with
+        # that experiment's seed (counters 0/1).
+        u0 = rng_ops.hash_uniform(seed0, ids_t, jnp.int32(0))
+        u1 = rng_ops.hash_uniform(seed0, ids_t, jnp.int32(1))
+        d_init = pathtracer.new_direction(params, d, u0, u1)
+    else:
+        d_init = d
+    mean, m2, count = pathtracer._scatter_loop_deferred(
         params,
-        static,
+        rstatic,
         o,
-        d,
-        jnp.ones((bucket * n_experiments,), bool),
-        seeds,
+        d_init,
+        jnp.ones((bucket * replicas,), bool),
+        seed0,
         ids_t,
-    )[:, 0]
-    x = radiance.reshape(n_experiments, bucket)
-    return x.sum(axis=0), (x * x).sum(axis=0)
+        jnp.int32(1),
+        resample,
+        n_samples=launches,
+        respawn_seed_base=seed,
+        respawn_sub0=sub0.astype(jnp.int32),
+        resample_on_spawn=resample,
+        spawn_dir=d if resample else None,
+    )
+    # Per-lane Welford → raw moments, then the replica axis sums away.
+    cnt, s1, s2 = welford_ops.to_moments(
+        welford_ops.Welford(mean[:, 0], m2[:, 0], count)
+    )
+    return (
+        s1.reshape(replicas, bucket).sum(axis=0),
+        s2.reshape(replicas, bucket).sum(axis=0),
+    )
 
 
 def _radiance_update(
@@ -209,28 +244,24 @@ def _radiance_update(
     base_count + k) — the same index set as the reference's
     replica-by-launch grid, unique across updates and independent of how
     replicas were densified, so results are restartable and
-    schedule-stable."""
+    schedule-stable.
+
+    The lane buffer is ``bucket * replicas`` (the reference's thread budget,
+    ~20k), each lane regenerating through its ``launches`` experiments —
+    bounded per-call work by construction, no ray-count chunking needed."""
     bucket = entry.shape[0]
     total = replicas * launches
-    chunk = max(1, _MAX_RAYS_PER_CALL // max(bucket, 1))
-    s1 = jnp.zeros((bucket,), jnp.float32)
-    s2 = jnp.zeros((bucket,), jnp.float32)
-    done = 0
-    while done < total:
-        n = min(chunk, total - done)
-        c1, c2 = _radiance_launch(
-            params,
-            static,
-            entry,
-            direction,
-            rids,
-            base_count + jnp.uint32(done),
-            seed,
-            n_experiments=n,
-        )
-        s1 = s1 + c1
-        s2 = s2 + c2
-        done += n
+    s1, s2 = _radiance_launch(
+        params,
+        static,
+        entry,
+        direction,
+        rids,
+        base_count,
+        seed,
+        replicas=replicas,
+        launches=launches,
+    )
     count = jnp.full((bucket,), float(total), jnp.float32)
     return welford_ops.from_moments(count, s1, s2)
 

@@ -169,7 +169,9 @@ def _scatter_loop_deferred(
     # carry = (0 pos, 1 dirn, 2 trans, 3 od, 4 depth, 5 weight,
     #          6 radiance-of-current-sample, 7 alive, 8 pending, 9 ray_ids,
     #          10 seed, 11 finished, 12 w_mean, 13 w_m2, 14 w_count,
-    #          15 nsamp, 16 pos0, 17 dir0)
+    #          15 nsamp, 16 pos0, 17 dir0, 18 sub0 — the per-lane respawn
+    #          seed-schedule offset travels with the lane through
+    #          compaction)
     carry0 = (
         pos,
         direction,
@@ -189,13 +191,16 @@ def _scatter_loop_deferred(
         jnp.zeros((n,), jnp.int32),  # nsamp (samples completed, total)
         pos,
         dir_anchor,
+        jnp.broadcast_to(
+            jnp.asarray(respawn_sub0 if regen else 0, jnp.int32), (n,)
+        ),
     )
 
     def march_iter(carry):
         """ONE row gather + up to ``n_sub`` march steps inside that cell."""
         (pos, dirn, trans, od, depth, weight, radiance, alive, pending,
          ray_ids, seed, finished, w_mean, w_m2, w_count, nsamp,
-         pos0, dir0) = carry
+         pos0, dir0, sub0) = carry
         active = alive & ~pending & ~finished
         first = pos + dirn * step
         cell0, _, ridx0 = grid_ops.packed_cell(
@@ -251,7 +256,7 @@ def _scatter_loop_deferred(
             pos = pos + dirn * (advance * step)[:, None]
         return (pos, dirn, trans, od, depth, weight, radiance, alive,
                 pending, ray_ids, seed, finished, w_mean, w_m2, w_count,
-                nsamp, pos0, dir0)
+                nsamp, pos0, dir0, sub0)
 
     def resolve(carry):
         """Batched per-bounce tail for every pending ray (NEE + direction
@@ -260,7 +265,7 @@ def _scatter_loop_deferred(
         respawn of finished samples."""
         (pos, dirn, trans, od, depth, weight, radiance, alive, pending,
          ray_ids, seed, finished, w_mean, w_m2, w_count, nsamp,
-         pos0, dir0) = carry
+         pos0, dir0, sub0) = carry
         pend = pending & alive
         chopped = (depth != 1) | jnp.bool_(chopped_at_depth1)
         cos_light = (-params.light_dir * dirn).sum(axis=-1)
@@ -318,10 +323,7 @@ def _scatter_loop_deferred(
             # legacy megabatch's per-subframe seed, so draws are identical.
             respawn = fold & (nsamp < n_samples)
             seed_new = jnp.asarray(respawn_seed_base, jnp.uint32) ^ (
-                (jnp.asarray(respawn_sub0, jnp.int32) + nsamp).astype(
-                    jnp.uint32
-                )
-                * jnp.uint32(0x9E3779B1)
+                (sub0 + nsamp).astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
             )
             if resample_on_spawn:
                 u0 = rng_ops.hash_uniform(seed_new, ray_ids, jnp.int32(0))
@@ -348,7 +350,7 @@ def _scatter_loop_deferred(
         finished = finished & ~fold
         return (pos, dirn, trans, od, depth, weight, radiance, alive,
                 jnp.zeros_like(pending), ray_ids, seed, finished,
-                w_mean, w_m2, w_count, nsamp, pos0, dir0)
+                w_mean, w_m2, w_count, nsamp, pos0, dir0, sub0)
 
     def loop_body(state):
         i, nres, carry = state
@@ -416,7 +418,7 @@ def _scatter_loop_deferred(
             jnp.zeros((m, 3), f32),  # fresh w_mean chunk
             jnp.zeros((m, 3), f32),  # fresh w_m2 chunk
             jnp.zeros((m,), f32),  # fresh w_count chunk
-            small[15], small[16], small[17],
+            small[15], small[16], small[17], small[18],
         )
         return small, idx, valid
 
@@ -838,6 +840,7 @@ def trace_tick_moments(
     sub0: jnp.ndarray,
     n_subframes: int,
     ray_ids: jnp.ndarray | None = None,
+    with_stats: bool = False,
 ):
     """Per-pixel Welford moments of ``n_subframes`` independent samples via
     lane regeneration — the progressive tick's estimator core.
@@ -885,7 +888,7 @@ def trace_tick_moments(
         raise NotImplementedError(
             "tick moments exist for the bounce-loop modes only"
         )
-    mean, m2, cnt = _scatter_loop_deferred(
+    out = _scatter_loop_deferred(
         params,
         static,
         entry,
@@ -895,12 +898,17 @@ def trace_tick_moments(
         ray_ids,
         jnp.int32(1),
         chopped,
+        with_stats=with_stats,
         n_samples=n_subframes,
         respawn_seed_base=jnp.uint32(seed_base),
         respawn_sub0=sub0 + 1,
         resample_on_spawn=resample,
         spawn_dir=directions if resample else None,
     )
+    if with_stats:
+        (mean, m2, cnt), stats = out
+    else:
+        mean, m2, cnt = out
     # Box-missing pixels shade the deterministic sun/sky miss program every
     # subframe: mean = miss, zero variance.
     miss = camera_ops.miss_radiance(params, static, directions)
@@ -908,4 +916,6 @@ def trace_tick_moments(
     mean = jnp.where(hit[:, None], mean, miss)
     m2 = jnp.where(hit[:, None], m2, 0.0)
     cnt = jnp.where(hit, cnt, s)
+    if with_stats:
+        return (mean, m2, cnt), stats
     return mean, m2, cnt

@@ -153,6 +153,30 @@ def render_tick(
     return ProgressiveState(merged.mean, merged.m2, state.subframe_id + s)
 
 
+#: Auto-banding threshold: grids whose fused march rows exceed this many
+#: bytes render each tick in bounded lane bands (see
+#: ProgressiveRenderer._lanes_per_call).  Above ~64 MB the row table no
+#: longer cache-resides and per-gather cost rises enough that a full
+#: 512^2-lane tick becomes one multi-minute XLA computation — which can
+#: crash a tunneled TPU worker outright.  Voxel grids up to 128^3 (32 MB
+#: uint8 rows) stay single-call.
+_BAND_TABLE_BYTES = 64 * 1024 * 1024
+
+#: Lane count per banded device call.
+_BAND_LANES = 1 << 15
+
+
+@functools.partial(jax.jit, static_argnames=("static", "n_subframes"))
+def _band_moments(
+    params, static, origins, directions, ray_ids, seed_base, sub0,
+    n_subframes,
+):
+    return tick_sample_moments(
+        params, static, origins, directions, seed_base, sub0, n_subframes,
+        ray_ids=ray_ids,
+    )
+
+
 class ProgressiveRenderer:
     """Host-side progressive render loop (the GuiExecutionLoop/Camera duo,
     minus the GUI): runs ticks until the CI gate passes, optionally writing
@@ -177,18 +201,66 @@ class ProgressiveRenderer:
         )
         self.state = init_state(self.origins.shape[0])
 
+    def _lanes_per_call(self) -> int:
+        """Lanes per device call: everything at once for cache-resident
+        grids; bounded bands for HBM-resident ones (64-128x slower gathers
+        make a full-frame tick a multi-minute single XLA call — long enough
+        to bring down a tunneled TPU worker)."""
+        n = self.n_rays
+        table_bytes = int(np.prod(self.params.march_rows.shape)) * (
+            self.params.march_rows.dtype.itemsize
+        )
+        if not self.static.march_deferred or table_bytes <= _BAND_TABLE_BYTES:
+            return n
+        m = min(_BAND_LANES, n)
+        while n % m:  # equal bands, one compile
+            m += 1
+        return m
+
     def tick(self) -> int:
         """Render one tick; returns the current unconverged-pixel count."""
         p = self.cfg.progressive
-        self.state = render_tick(
-            self.params,
-            self.static,
-            self.origins,
-            self.directions,
-            self.state,
-            seed_base=self.seed,
-            n_subframes=p.subframes_per_tick,
-        )
+        n = self.n_rays
+        m = self._lanes_per_call()
+        if m >= n:
+            self.state = render_tick(
+                self.params,
+                self.static,
+                self.origins,
+                self.directions,
+                self.state,
+                seed_base=self.seed,
+                n_subframes=p.subframes_per_tick,
+            )
+        else:
+            # Banded tick: bounded device calls over lane slices with GLOBAL
+            # ray ids, so every per-sample value is bitwise identical to the
+            # single-call tick (band partition only re-chunks the per-pixel
+            # Welford folds).
+            ids = jnp.arange(n, dtype=jnp.uint32)
+            parts = [
+                _band_moments(
+                    self.params, self.static,
+                    self.origins[lo:lo + m], self.directions[lo:lo + m],
+                    ids[lo:lo + m], jnp.uint32(self.seed),
+                    self.state.subframe_id, p.subframes_per_tick,
+                )
+                for lo in range(0, n, m)
+            ]
+            batch_mean = jnp.concatenate([b[0] for b in parts])
+            batch_m2 = jnp.concatenate([b[1] for b in parts])
+            batch_count = jnp.concatenate([b[2] for b in parts])
+            merged = welford_ops.merge(
+                welford_ops.Welford(
+                    self.state.mean, self.state.m2,
+                    self.state.subframe_id.astype(jnp.float32),
+                ),
+                welford_ops.Welford(batch_mean, batch_m2, batch_count),
+            )
+            self.state = ProgressiveState(
+                merged.mean, merged.m2,
+                self.state.subframe_id + p.subframes_per_tick,
+            )
         sf = int(self.state.subframe_id)
         if self.snapshot_fn is not None and sf % p.snapshot_every == 0:
             self.snapshot_fn(sf, self.hdr_image())

@@ -3,6 +3,11 @@
 Tests run on CPU (fast iteration, no TPU dependency) with 8 virtual XLA
 devices so multi-chip sharding paths are exercised exactly as the driver's
 `dryrun_multichip` does.  Must run before jax initializes.
+
+When a long TPU job shares the machine, launch pytest with
+``PALLAS_AXON_POOL_IPS=`` (empty): the axon sitecustomize otherwise
+registers the tunnel plugin in every test process, which can wedge the
+TPU job's device stream (see .claude/skills/verify/SKILL.md).
 """
 
 import os
