@@ -8,6 +8,7 @@ utility mains), argparse instead of positional hardcoding:
     python -m deepestscatter_tpu train-baked <dataset_root> [...]
     python -m deepestscatter_tpu compare <pt.exr> <other.exr...> [--out DIR]
     python -m deepestscatter_tpu bench
+    python -m deepestscatter_tpu eval [--root DIR] [--out report.json]
 """
 
 from __future__ import annotations
@@ -69,6 +70,21 @@ def main(argv=None) -> int:
     m.add_argument("--out", default=None)
 
     sub.add_parser("bench", help="run the chip benchmark")
+
+    e = sub.add_parser(
+        "eval",
+        help="end-to-end quality eval: dataset -> training -> NN/BNN/PT "
+        "renders -> RMS bias (GenerateComparisons.py analog)",
+    )
+    e.add_argument("--root", default="runs/eval_e2e")
+    e.add_argument("--out", default=None, help="report JSON path")
+    e.add_argument("--width", type=int, default=256)
+    e.add_argument("--height", type=int, default=128)
+    e.add_argument("--scenes-per-cloud", type=int, default=2)
+    e.add_argument("--batch-size", type=int, default=2048)
+    e.add_argument("--epochs-nn", type=int, default=50)
+    e.add_argument("--epochs-bnn", type=int, default=30)
+    e.add_argument("--skip-baked", action="store_true")
 
     args = p.parse_args(argv)
 
@@ -150,6 +166,30 @@ def main(argv=None) -> int:
         import runpy
 
         runpy.run_module("bench", run_name="__main__")
+    elif args.cmd == "eval":
+        import os
+        import sys as _sys
+
+        _sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tools",
+            ),
+        )
+        import eval_e2e
+
+        eval_e2e.run_eval(
+            args.root,
+            scenes_per_cloud=args.scenes_per_cloud,
+            batch_size=args.batch_size,
+            width=args.width,
+            height=args.height,
+            epochs_disney=args.epochs_nn,
+            epochs_baked=args.epochs_bnn,
+            out_json=args.out,
+            skip_baked=args.skip_baked,
+        )
     return 0
 
 
