@@ -108,6 +108,14 @@ class CloudRendering:
     #: baked in-scatter grid are uint8 textures, Resources.cpp:93-96,
     #: inScatter.cu:65) and is ~18% faster to gather.
     march_dtype: str = "float32"
+    #: Brick rows: cells per axis served by ONE fused-row gather (0 = the
+    #: 8-corner cell rows).  A brick row stores the (B+1)^3 corner lattice
+    #: of density AND in-scatter (e.g. B=3, uint8: 128-byte rows), so one
+    #: gather covers B x more march distance; trilinear becomes a 3-step
+    #: tensor contraction on the VPU (ops.grid.trilinear_from_brick).  The
+    #: lever for HBM-resident (>=256^3) grids, where the per-row fetch
+    #: dominates the march; also ~2.4x less memory per cell than cell rows.
+    march_brick: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

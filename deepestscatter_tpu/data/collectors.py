@@ -275,6 +275,8 @@ def estimate_point_radiance(
     seed: int = 0,
     max_updates: int = 200,
     verbose: bool = False,
+    state_path: str | None = None,
+    save_every: int = 10,
 ) -> RadianceEstimate:
     """Monte-Carlo ground-truth labels with CI-gated convergence and the
     reference's reschedule/densify loop (RadianceCollector.cpp:105-141,178):
@@ -292,7 +294,17 @@ def estimate_point_radiance(
     Persistent Welford state lives on host (numpy); each device update
     returns only the fresh-experiment contribution for the active set,
     padded to a power-of-two bucket so recompiles are O(log n), not O(n).
+
+    ``state_path`` checkpoints the host state every ``save_every`` updates
+    (atomic npz) and resumes from it — the RNG stream is keyed by absolute
+    experiment index, so a resumed run continues the exact experiment
+    sequence.  A wedged/killed run then loses at most ``save_every``
+    updates instead of the whole scene (tools/eval_supervisor.sh relies on
+    this).  The caller removes the file once the labels are durably
+    stored (tasks.collect, after the Result batch_append).
     """
+    import os
+
     n = positions.shape[0]
     rstatic = _radiance_static(static)
     entry = np.asarray(positions + 0.5 * params.bbox_size, np.float32)
@@ -308,11 +320,33 @@ def estimate_point_radiance(
     count_int = np.zeros(n, np.int64)
     converged = np.zeros(n, bool)
     eps = np.finfo(np.float32).eps
+    r0 = 0
+    if state_path and os.path.exists(state_path):
+        st = np.load(state_path)
+        if st["n"] == n and st["seed"] == seed:
+            mean, m2 = st["mean"], st["m2"]
+            count, count_int = st["count"], st["count_int"]
+            converged = st["converged"]
+            r0 = int(st["update"])
+            if verbose:
+                print(
+                    f"radiance resume: update {r0}, "
+                    f"{int((~converged).sum())} unconverged",
+                    flush=True,
+                )
 
-    active = np.arange(n)
+    def save_state(r):
+        tmp = state_path + ".tmp.npz"
+        np.savez(
+            tmp, n=n, seed=seed, update=r, mean=mean, m2=m2, count=count,
+            count_int=count_int, converged=converged,
+        )
+        os.replace(tmp, state_path)
+
+    active = np.arange(n)[~converged]
     seed_arr = jnp.uint32(seed)
     schedule = []
-    for r in range(max_updates):
+    for r in range(r0, max_updates):
         if active.size == 0:
             break
         bucket = _bucket_size(active.size)
@@ -365,8 +399,14 @@ def estimate_point_radiance(
         if verbose:
             print(
                 f"radiance update {r}: {active.size} unconverged "
-                f"(replicas {replicas} x launches {cfg.launches_per_update})"
+                f"(replicas {replicas} x launches {cfg.launches_per_update})",
+                flush=True,
             )
+        if state_path and (r + 1) % save_every == 0:
+            save_state(r + 1)
+    # The state file stays until the CALLER has durably stored the labels
+    # (tasks.collect removes it after the Result batch_append): a crash
+    # between estimate and store write must resume, not restart.
     return RadianceEstimate(mean, converged, count_int, tuple(schedule))
 
 

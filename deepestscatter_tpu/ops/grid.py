@@ -320,3 +320,111 @@ def sample_occupancy(
     cz = jnp.clip(cell[..., 2], 0, bz - 1)
     idx = (cz * by + cy) * bx + cx
     return jnp.take(occ.reshape(-1), idx, mode="clip")
+
+
+# ---------------------------------------------------------------------------
+# Brick rows: one gather serves a whole (brick x brick x brick)-cell region
+# ---------------------------------------------------------------------------
+
+def brick_counts(grid_shape: Tuple[int, int, int], brick: int):
+    """Brick-grid dimensions [Z, Y, X] for ``brick`` cells per axis."""
+    nz, ny, nx = grid_shape
+    c = lambda n: -(-n // brick)  # noqa: E731
+    return c(nz), c(ny), c(nx)
+
+
+def pack_bricks(
+    a: jnp.ndarray, b: jnp.ndarray, brick: int = 3
+) -> jnp.ndarray:
+    """Pack TWO co-located grids into brick rows ``[NB, 2*(brick+1)^3]``.
+
+    A brick covers ``brick^3`` sampling cells; its row stores the
+    ``(brick+1)^3`` corner lattice of each grid (clamp-to-edge), corner
+    order z-major/x-fastest, a's lattice first.  One row gather then
+    serves EVERY trilinear sample inside the brick — ``brick``x more march
+    distance per gather than ``pack_corner_pair`` cell rows, at ~2.4x LESS
+    memory per cell (``(B+1)^3 / B^3`` corners per cell vs 8).  On TPU the
+    gather cost is per ROW, nearly independent of row width (measured in
+    tools/perf_probe.py), so fatter rows are the lever on HBM-resident
+    grids where the fetch dominates the march.
+    """
+    assert a.shape == b.shape
+    nz, ny, nx = a.shape
+    nbz, nby, nbx = brick_counts((nz, ny, nx), brick)
+    b1 = brick + 1
+
+    def lattice(g):
+        zi = jnp.minimum(
+            jnp.arange(nbz)[:, None] * brick + jnp.arange(b1)[None, :], nz - 1
+        )
+        yi = jnp.minimum(
+            jnp.arange(nby)[:, None] * brick + jnp.arange(b1)[None, :], ny - 1
+        )
+        xi = jnp.minimum(
+            jnp.arange(nbx)[:, None] * brick + jnp.arange(b1)[None, :], nx - 1
+        )
+        t = jnp.take(g, zi.reshape(-1), axis=0).reshape(nbz, b1, ny, nx)
+        t = jnp.take(t, yi.reshape(-1), axis=2).reshape(nbz, b1, nby, b1, nx)
+        t = jnp.take(t, xi.reshape(-1), axis=4).reshape(
+            nbz, b1, nby, b1, nbx, b1
+        )
+        # → [nbz, nby, nbx, cz, cy, cx]
+        t = t.transpose(0, 2, 4, 1, 3, 5)
+        return t.reshape(nbz * nby * nbx, b1**3)
+
+    return jnp.concatenate([lattice(a), lattice(b)], axis=-1)
+
+
+def brick_cell(
+    u: jnp.ndarray, grid_shape: Tuple[int, int, int], brick: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Brick lookup for a sample at ``u`` ([..., 3], (x, y, z) order):
+    ``(bcell [..., 3] int32 brick coords, frac [..., 3], row_idx [...],
+    local [..., 3] cell-within-brick)``.  Cell/frac math identical to
+    ``packed_cell`` (same clamp-to-edge), so brick sampling reproduces the
+    cell-row path bit-for-bit."""
+    nz, ny, nx = grid_shape
+    dims = jnp.asarray([nx, ny, nz], dtype=u.dtype)
+    t = u * dims - 0.5
+    t0 = jnp.floor(t)
+    frac = jnp.where(t0 < 0.0, 0.0, t - t0)
+    t0 = t0.astype(jnp.int32)
+    cell = jnp.stack(
+        [
+            jnp.clip(t0[..., 0], 0, nx - 1),
+            jnp.clip(t0[..., 1], 0, ny - 1),
+            jnp.clip(t0[..., 2], 0, nz - 1),
+        ],
+        axis=-1,
+    )
+    bcell = cell // brick
+    local = cell - bcell * brick
+    nbz, nby, nbx = brick_counts(grid_shape, brick)
+    row_idx = (bcell[..., 2] * nby + bcell[..., 1]) * nbx + bcell[..., 0]
+    return bcell, frac, row_idx, local
+
+
+def trilinear_from_brick(
+    lattice: jnp.ndarray,  # [..., (brick+1)^3] one grid's corner lattice
+    local: jnp.ndarray,  # [..., 3] cell-within-brick (x, y, z)
+    frac: jnp.ndarray,  # [..., 3]
+    brick: int,
+) -> jnp.ndarray:
+    """Trilinear sample from an already-fetched brick lattice — a 3-step
+    tensor contraction with per-axis 2-hot weight vectors (no gathers: the
+    8 relevant corners are selected arithmetically on the VPU)."""
+    b1 = brick + 1
+    v = lattice.reshape(*lattice.shape[:-1], b1, b1, b1)  # [..., z, y, x]
+    i = jnp.arange(b1)
+
+    def wts(l, f):
+        l = l[..., None]
+        f = f[..., None]
+        return jnp.where(i == l, 1.0 - f, jnp.where(i == l + 1, f, 0.0))
+
+    wx = wts(local[..., 0], frac[..., 0])
+    wy = wts(local[..., 1], frac[..., 1])
+    wz = wts(local[..., 2], frac[..., 2])
+    v = jnp.einsum("...zyx,...z->...yx", v, wz)
+    v = jnp.einsum("...yx,...y->...x", v, wy)
+    return jnp.einsum("...x,...x->...", v, wx)

@@ -71,6 +71,7 @@ def empty_cell_exit_steps(
     bbox_size: jnp.ndarray,
     step,
     max_jump: float = 64.0,
+    span: float = 1.0,
 ) -> jnp.ndarray:
     """Whole march steps a ray can jump through the CLOSED cell it is in
     before reaching the cell's exit face — exact empty-space skipping on the
@@ -86,7 +87,9 @@ def empty_cell_exit_steps(
     f = pos.dtype
     cellf = cell.astype(f)
     lo = (cellf + 0.5) / dims_f * bbox_size
-    hi = (cellf + 1.5) / dims_f * bbox_size
+    # ``span`` widens the closed region to span cells per axis (brick rows:
+    # all lattice corners zero => trilinear density == 0 across the brick).
+    hi = (cellf + jnp.asarray(span, f) + 0.5) / dims_f * bbox_size
     bound = jnp.where(direction > 0.0, hi, lo)
     safe_dir = jnp.where(jnp.abs(direction) > 1e-9, direction, jnp.asarray(1e-9, f))
     t_ax = jnp.where(jnp.abs(direction) > 1e-9, (bound - pos) / safe_dir, jnp.inf)
@@ -119,7 +122,9 @@ def next_scattering_event(
     skip_k = static.occupancy_skip_steps
     from .. import scene as scene_mod  # late import (scene imports ops)
 
-    rows_grid = params.march_rows.reshape(-1, 16)
+    brick = static.march_brick
+    half = (brick + 1) ** 3 if brick else 8
+    rows_grid = params.march_rows.reshape(-1, 2 * half)
     rows_scale = jnp.float32(scene_mod.march_rows_scale(params.march_rows))
     nz, ny, nx = static.grid_shape
     dims_f = jnp.asarray([nx, ny, nz], f32)
@@ -141,14 +146,25 @@ def next_scattering_event(
             new_pos = cur + direction * step_len[:, None]
         else:
             new_pos = cur + direction * step
-        cell, frac, ridx = grid_ops.packed_cell(
-            new_pos / params.bbox_size, static.grid_shape
-        )
+        if brick:
+            cell, frac, ridx, local = grid_ops.brick_cell(
+                new_pos / params.bbox_size, static.grid_shape, brick
+            )
+        else:
+            cell, frac, ridx = grid_ops.packed_cell(
+                new_pos / params.bbox_size, static.grid_shape
+            )
         dens_rows = (
-            jnp.take(rows_grid, ridx, axis=0, mode="clip")[:, :8].astype(f32)
+            jnp.take(rows_grid, ridx, axis=0, mode="clip")[:, :half].astype(f32)
             * rows_scale
         )
-        density = grid_ops.trilinear_from_rows(dens_rows, frac) * dm
+        if brick:
+            density = (
+                grid_ops.trilinear_from_brick(dens_rows, local, frac, brick)
+                * dm
+            )
+        else:
+            density = grid_ops.trilinear_from_rows(dens_rows, frac) * dm
         trans_new = jnp.where(active, trans * jnp.exp(-density * step), trans)
         crossed = active & (~scattered) & (optical_distance > trans_new)
         # Back-correct the scatter position inside the last step
@@ -170,7 +186,9 @@ def next_scattering_event(
             # replacing the occupancy-grid gather.
             zero_cell = dens_rows.max(axis=-1) <= 0.0
             extra = empty_cell_exit_steps(
-                cell, new_pos, direction, dims_f, params.bbox_size, step
+                cell * brick if brick else cell,
+                new_pos, direction, dims_f, params.bbox_size, step,
+                span=float(brick) if brick else 1.0,
             )
             advance = jnp.where(zero_cell & new_active, extra, 0.0)
             new_pos = new_pos + direction * (advance * step)[:, None]

@@ -153,5 +153,7 @@ def with_baked_inscatter(
     raw_density = params.density_mips[0][..., 0].astype(jnp.float32)
     return params._replace(
         inscatter=grid_ops.pack_corners(baked),
-        march_rows=make_march_rows(raw_density, baked, march_dtype),
+        march_rows=make_march_rows(
+            raw_density, baked, march_dtype, static.march_brick
+        ),
     )

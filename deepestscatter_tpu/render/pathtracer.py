@@ -147,10 +147,28 @@ def _scatter_loop_deferred(
         static.sample_sky and static.mode is RenderMode.SUN_AND_SKY_ALL_SCATTER
     )
 
-    rows_grid = params.march_rows.reshape(-1, 16)
+    brick = static.march_brick
+    half = (brick + 1) ** 3 if brick else 8
+    rows_grid = params.march_rows.reshape(-1, 2 * half)
     rows_scale = jnp.float32(scene_mod.march_rows_scale(params.march_rows))
     nz, ny, nx = static.grid_shape
     dims_f = jnp.asarray([nx, ny, nz], f32)
+
+    def fetch_cell(u):
+        """(region_key, frac, row_idx, local) — brick or cell lookup."""
+        if brick:
+            bc, frac, ridx, local = grid_ops.brick_cell(
+                u, static.grid_shape, brick
+            )
+            return bc, frac, ridx, local
+        cell, frac, ridx = grid_ops.packed_cell(u, static.grid_shape)
+        return cell, frac, ridx, None
+
+    def sample_rows(rows_half, frac, local):
+        """Trilinear from an already-fetched (dequantized) row half."""
+        if brick:
+            return grid_ops.trilinear_from_brick(rows_half, local, frac, brick)
+        return grid_ops.trilinear_from_rows(rows_half, frac)
 
     def sky_exit_radiance(direction, depth, weight):
         add = camera_ops.sky_gradient(params, direction) + jnp.where(
@@ -203,21 +221,17 @@ def _scatter_loop_deferred(
          pos0, dir0, sub0) = carry
         active = alive & ~pending & ~finished
         first = pos + dirn * step
-        cell0, _, ridx0 = grid_ops.packed_cell(
-            first / params.bbox_size, static.grid_shape
-        )
+        cell0, _, ridx0, _ = fetch_cell(first / params.bbox_size)
         rows = jnp.take(rows_grid, ridx0, axis=0, mode="clip").astype(f32)
-        dens_rows = rows[:, :8] * rows_scale
+        dens_rows = rows[:, :half] * rows_scale
 
         live = active
         cur = pos
         for j in range(n_sub):
             newp = first if j == 0 else cur + dirn * step
-            cellj, fracj, _ = grid_ops.packed_cell(
-                newp / params.bbox_size, static.grid_shape
-            )
+            cellj, fracj, _, localj = fetch_cell(newp / params.bbox_size)
             ok = live if j == 0 else live & jnp.all(cellj == cell0, axis=-1)
-            density = grid_ops.trilinear_from_rows(dens_rows, fracj) * dm
+            density = sample_rows(dens_rows, fracj, localj) * dm
             trans_new = jnp.where(ok, trans * jnp.exp(-density * step), trans)
             crossed = ok & (od > trans_new)
             back = march_ops.back_correct_distance(od, trans_new, density)
@@ -245,12 +259,15 @@ def _scatter_loop_deferred(
             cur = jnp.where(ok[:, None], newp, cur)
 
         if static.march_empty_skip:
-            # All 8 density corners zero ⇒ trilinear density ≡ 0 across the
-            # closed cell: jump rays still live in the fetched cell to its
-            # exit face on the step lattice (exact, no bias).
+            # ALL fetched density corners zero ⇒ trilinear density ≡ 0
+            # across the closed fetch region (cell or whole brick): jump
+            # rays still live in it to its exit face on the step lattice
+            # (exact, no bias).
             zero_cell = dens_rows.max(axis=-1) <= 0.0
             extra = march_ops.empty_cell_exit_steps(
-                cell0, cur, dirn, dims_f, params.bbox_size, step
+                cell0 * brick if brick else cell0,
+                cur, dirn, dims_f, params.bbox_size, step,
+                span=float(brick) if brick else 1.0,
             )
             advance = jnp.where(zero_cell & live, extra, 0.0)
             pos = pos + dirn * (advance * step)[:, None]
@@ -271,13 +288,11 @@ def _scatter_loop_deferred(
         cos_light = (-params.light_dir * dirn).sum(axis=-1)
         p_full, p_chop = phase_ops.eval_phase_pair(params.phase, cos_light)
         p = jnp.where(chopped, p_chop, p_full)
-        _, frac, ridx = grid_ops.packed_cell(
-            pos / params.bbox_size, static.grid_shape
-        )
+        _, frac, ridx, local = fetch_cell(pos / params.bbox_size)
         rows = jnp.take(
             rows_grid, jnp.where(pend, ridx, 0), axis=0, mode="clip"
         ).astype(f32)
-        trans_sun = grid_ops.trilinear_from_rows(rows[:, 8:16] * rows_scale, frac)
+        trans_sun = sample_rows(rows[:, half:] * rows_scale, frac, local)
         factor = weight * p * static.sun_solid_angle_ratio
         radiance = radiance + jnp.where(
             pend[:, None],

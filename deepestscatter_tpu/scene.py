@@ -81,6 +81,9 @@ class SceneStatic:
     #: march_iter calls between resolve checks (amortizes the per-iteration
     #: reduction + cond overhead over several row fetches).
     march_check_every: int = 2
+    #: Brick rows: cells per axis per fused-row gather (0 = cell rows;
+    #: config.CloudRendering.march_brick).
+    march_brick: int = 0
     #: Sample sky/sun light along paths in the all-scatter mode — the
     #: reference's disabled code path (cloudRadianceMaterials.cu:20-27,
     #: 36-46); see pathtracer._scatter_loop for the estimator notes.
@@ -115,14 +118,24 @@ class SceneStatic:
 
 
 def make_march_rows(
-    density: jnp.ndarray, inscatter: jnp.ndarray, march_dtype: str = "float32"
+    density: jnp.ndarray,
+    inscatter: jnp.ndarray,
+    march_dtype: str = "float32",
+    brick: int = 0,
 ) -> jnp.ndarray:
-    """Fused [Z, Y, X, 16] march rows (density + inscatter corners).
+    """Fused march rows: density + in-scatter corners, one gather per step.
+
+    ``brick == 0``: [Z, Y, X, 16] cell rows (8 corners each grid).
+    ``brick >= 2``: [NB, 2*(brick+1)^3] brick rows (ops.grid.pack_bricks) —
+    one row serves every sample in a brick^3-cell region.
 
     ``march_dtype == "uint8"`` stores both fields quantized x255 — the
     reference's own storage (density: Resources.cpp:93-96; in-scatter:
     inScatter.cu:65); samplers dequantize by 1/255."""
-    rows = grid_ops.pack_corner_pair(density, inscatter)
+    if brick >= 2:
+        rows = grid_ops.pack_bricks(density, inscatter, brick)
+    else:
+        rows = grid_ops.pack_corner_pair(density, inscatter)
     if march_dtype == "uint8":
         return jnp.round(rows * 255.0).astype(jnp.uint8)
     if march_dtype != "float32":
@@ -194,19 +207,28 @@ def build_scene(
         occupancy_skip_steps=skip_steps,
         march_deferred=cfg.rendering.march_deferred,
         # Auto substeps: one fetched row serves the steps a ray takes
-        # crossing one cell (~steps-per-voxel), capped so thin-cell grids
-        # don't burn masked substep arithmetic.
+        # crossing one fetch region (a cell, or a brick of march_brick
+        # cells), capped so thin-cell grids don't burn masked substep
+        # arithmetic.
         march_substeps=(
             cfg.rendering.march_substeps
             if cfg.rendering.march_substeps > 0
             else min(
-                8, max(1, round(1.0 / (max_dim * cfg.rendering.sample_step)))
+                16,
+                max(
+                    1,
+                    round(
+                        max(1, cfg.rendering.march_brick)
+                        / (max_dim * cfg.rendering.sample_step)
+                    ),
+                ),
             )
         ),
         # Clamped: a frac > 1.0 would make the pending-share resolve trigger
         # unsatisfiable (the == alive trigger in the loop is the backstop).
         march_resolve_frac=min(cfg.rendering.march_resolve_frac, 1.0),
         march_check_every=cfg.rendering.march_check_every,
+        march_brick=cfg.rendering.march_brick,
         sample_sky=cfg.rendering.sample_sky,
     )
 
@@ -225,6 +247,7 @@ def build_scene(
             jnp.asarray(mips[0], jnp.float32),
             jnp.asarray(inscatter, jnp.float32),
             cfg.rendering.march_dtype,
+            cfg.rendering.march_brick,
         ),
         occupancy=jnp.asarray(
             grid_ops.build_occupancy(density, occ_block), dtype

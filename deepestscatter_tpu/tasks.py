@@ -131,11 +131,22 @@ def collect(
                 est = collectors.estimate_point_radiance(
                     params, static, pos, direction, radiance_cfg, seed=seed,
                     verbose=verbose,
+                    # Mid-scene restartability: a killed/wedged run resumes
+                    # the exact experiment sequence (RNG is keyed by
+                    # absolute experiment index).
+                    state_path=os.path.join(
+                        store.root, f".radiance_state.{scene_id}.npz"
+                    ),
                 )
                 out = np.zeros(batch.size, records.RESULT)
                 out["light_intensity"] = np.asarray(est.radiance)
                 out["is_converged"] = np.asarray(est.is_converged).astype(np.uint8)
                 store.table("Result").batch_append(batch.start_id, out)
+                state_file = os.path.join(
+                    store.root, f".radiance_state.{scene_id}.npz"
+                )
+                if os.path.exists(state_file):
+                    os.remove(state_file)
             elif record_type == "DisneyDescriptor":
                 grids = collectors.collect_disney_descriptors(
                     params, static, pos, direction

@@ -217,6 +217,10 @@ class Trainer:
         )
         step = int(self.state.step)
         self.metrics.scalar("val_loss", val_loss, step)
+        # Stdout liveness (the reference Trainer prints per-validation too,
+        # Trainer.py:150-156); unattended runs use log recency as the
+        # is-it-wedged signal (tools/eval_supervisor.sh).
+        print(f"[{self.name}] step {step}: val_loss {val_loss:.5f}", flush=True)
         if not np.isfinite(val_loss):
             raise FloatingPointError(
                 f"validation loss is {val_loss} at step {step}"  # Trainer.py:155
