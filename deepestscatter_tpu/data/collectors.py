@@ -144,11 +144,6 @@ def _bucket_size(n_active: int) -> int:
     return b
 
 
-#: Per-call megabatch cap (rays): one render call at this size keeps the
-#: deferred loop's compaction effective and the ray buffers ~100 MB.
-_MAX_RAYS_PER_CALL = 1 << 20
-
-
 @functools.partial(
     jax.jit, static_argnames=("static", "replicas", "launches")
 )
@@ -215,10 +210,14 @@ def _radiance_launch(
         spawn_dir=d if resample else None,
     )
     # Per-lane Welford → raw moments, then the replica axis sums away.
+    # The ACTUAL folded count travels with the moments: a lane stopped by
+    # the safety cap contributes fewer than ``launches`` experiments, and
+    # normalizing by the scheduled count would silently bias the label.
     cnt, s1, s2 = welford_ops.to_moments(
         welford_ops.Welford(mean[:, 0], m2[:, 0], count)
     )
     return (
+        cnt.reshape(replicas, bucket).sum(axis=0),
         s1.reshape(replicas, bucket).sum(axis=0),
         s2.reshape(replicas, bucket).sum(axis=0),
     )
@@ -249,9 +248,7 @@ def _radiance_update(
     The lane buffer is ``bucket * replicas`` (the reference's thread budget,
     ~20k), each lane regenerating through its ``launches`` experiments —
     bounded per-call work by construction, no ray-count chunking needed."""
-    bucket = entry.shape[0]
-    total = replicas * launches
-    s1, s2 = _radiance_launch(
+    count, s1, s2 = _radiance_launch(
         params,
         static,
         entry,
@@ -262,7 +259,6 @@ def _radiance_update(
         replicas=replicas,
         launches=launches,
     )
-    count = jnp.full((bucket,), float(total), jnp.float32)
     return welford_ops.from_moments(count, s1, s2)
 
 
@@ -374,6 +370,16 @@ def estimate_point_radiance(
         c_mean = np.asarray(contrib.mean)[:k]
         c_m2 = np.asarray(contrib.m2)[:k]
         c_count = np.asarray(contrib.count)[:k]
+        expected = float(replicas * cfg.launches_per_update)
+        if not np.all(c_count == expected):
+            short = int((c_count != expected).sum())
+            print(
+                f"radiance warning: {short} lanes folded "
+                f"{c_count.min():.0f}..{c_count.max():.0f} experiments "
+                f"(scheduled {expected:.0f}) — safety cap tripped; "
+                "labels normalize by the actual count",
+                flush=True,
+            )
 
         # Host-side Welford merge into the persistent per-point state.
         tot = count[active] + c_count

@@ -437,15 +437,15 @@ def _scatter_loop_deferred(
         )
         return small, idx, valid
 
-    def merge_back(w_mean, w_m2, w_count, carry, idx, valid):
+    def merge_back(w_mean, w_m2, w_count, carry, gidx):
         """Per-lane Welford merge of the compacted phase's chunk into the
-        full-buffer stats (duplicated fill indices write out-of-range and
-        drop, so only valid lanes merge)."""
+        full-buffer stats.  ``gidx`` maps each compacted lane to its GLOBAL
+        (n-buffer) index, composed through every compaction level; invalid
+        lanes carry the out-of-range sentinel ``n`` and drop on scatter."""
         c_mean, c_m2, c_cnt = carry[12], carry[13], carry[14]
-        idx_safe = jnp.where(valid, idx, n)
-        a_mean = w_mean[idx]
-        a_m2 = w_m2[idx]
-        a_cnt = w_count[idx]
+        a_mean = w_mean[gidx]  # sentinel rows clamp-read garbage; dropped
+        a_m2 = w_m2[gidx]
+        a_cnt = w_count[gidx]
         tot = a_cnt + c_cnt
         safe = jnp.maximum(tot, 1.0)
         w = (c_cnt / safe)[:, None]
@@ -454,10 +454,31 @@ def _scatter_loop_deferred(
             a_m2 + c_m2
             + (c_mean - a_mean) ** 2 * ((a_cnt * c_cnt / safe)[:, None])
         )
-        w_mean = w_mean.at[idx_safe].set(new_mean, mode="drop")
-        w_m2 = w_m2.at[idx_safe].set(new_m2, mode="drop")
-        w_count = w_count.at[idx_safe].set(tot, mode="drop")
+        w_mean = w_mean.at[gidx].set(new_mean, mode="drop")
+        w_m2 = w_m2.at[gidx].set(new_m2, mode="drop")
+        w_count = w_count.at[gidx].set(tot, mode="drop")
         return w_mean, w_m2, w_count
+
+    def fold_unfinished(carry):
+        """Fold still-in-flight samples of lanes alive at the safety-cap
+        exit into the Welford chunk as one truncated sample each, so a
+        tripped ``max_iters`` cap degrades gracefully (partial NEE energy
+        kept) instead of dropping the lane's radiance."""
+        (pos, dirn, trans, od, depth, weight, radiance, alive, pending,
+         ray_ids, seed, finished, w_mean, w_m2, w_count, nsamp,
+         pos0, dir0, sub0) = carry
+        fold = alive
+        cnt_new = w_count + fold.astype(f32)
+        nsafe = jnp.maximum(cnt_new, 1.0)
+        delta = radiance - w_mean
+        mean_new = w_mean + delta / nsafe[:, None]
+        m2_new = w_m2 + delta * (radiance - mean_new)
+        w_mean = jnp.where(fold[:, None], mean_new, w_mean)
+        w_m2 = jnp.where(fold[:, None], m2_new, w_m2)
+        w_count = jnp.where(fold, cnt_new, w_count)
+        return (pos, dirn, trans, od, depth, weight, radiance, alive,
+                pending, ray_ids, seed, finished, w_mean, w_m2, w_count,
+                nsamp, pos0, dir0, sub0)
 
     # Compaction cascade: the tail — deep-diffusion paths (and, when
     # regenerating, the last unfinished samples) — runs thousands of
@@ -477,16 +498,25 @@ def _scatter_loop_deferred(
     i, nres, carry = run_phase(i, nres, carry0, levels[0] if levels else 0)
     phase_iters.append(i)
     phase_nres.append(nres)
+    if not levels:
+        carry = fold_unfinished(carry)
     w_mean, w_m2, w_count = carry[12], carry[13], carry[14]
+    # ``gidx`` maps each compacted lane to its index in the ORIGINAL
+    # n-buffer; composing it through every level is what makes multi-level
+    # cascades scatter their Welford chunks back to the right pixels (a
+    # level-2 compact's local indices point into the level-1 buffer, not
+    # the full one).
+    gidx = None
     for li, m in enumerate(levels):
         carry, idx, valid = compact(carry, m)
+        gidx = jnp.where(valid, idx if gidx is None else gidx[idx], n)
         next_stop = levels[li + 1] if li + 1 < len(levels) else 0
         i, nres, carry = run_phase(i, nres, carry, next_stop)
         phase_iters.append(i)
         phase_nres.append(nres)
-        w_mean, w_m2, w_count = merge_back(
-            w_mean, w_m2, w_count, carry, idx, valid
-        )
+        if li + 1 == len(levels):
+            carry = fold_unfinished(carry)
+        w_mean, w_m2, w_count = merge_back(w_mean, w_m2, w_count, carry, gidx)
     if regen:
         out = (w_mean, w_m2, w_count)
     else:
@@ -743,12 +773,16 @@ def _scatter_loop(
     radiance_total = None
     i, carry = run_phase(i, carry0, levels[0] if levels else 0)
     radiance_total = carry[6]
+    # Global-index map composed through the cascade (level-2 local indices
+    # point into the level-1 buffer); invalid lanes carry the out-of-range
+    # sentinel n and drop on the scatter-add.
+    gidx = None
     for li, m in enumerate(levels):
         carry, idx, valid = compact(carry, m)
+        gidx = jnp.where(valid, idx if gidx is None else gidx[idx], n)
         next_stop = levels[li + 1] if li + 1 < len(levels) else 0
         i, carry = run_phase(i, carry, next_stop)
-        tail = jnp.where(valid[:, None], carry[6], 0.0)
-        radiance_total = radiance_total.at[idx].add(tail)
+        radiance_total = radiance_total.at[gidx].add(carry[6], mode="drop")
     return radiance_total
 
 

@@ -95,11 +95,17 @@ def tick_sample_moments(
             params, static, origins, directions, seed_base, sub0, s,
             ray_ids=ray_ids,
         )
-        return (
-            paint_error_pixels(mean_c),
-            paint_error_pixels(m2_c),
-            cnt[:, None],
+        # A lane with any non-finite sample gets the loud sentinel as its
+        # MEAN and zero m2 — the sentinel must dominate the image (same
+        # outcome as the megabatch path, where per-sample painting drives
+        # the lane mean to the sentinel magnitude), and garbage must not
+        # enter the CI gate as a variance.
+        bad = ~jnp.all(
+            jnp.isfinite(mean_c) & jnp.isfinite(m2_c), axis=-1
         )
+        mean_c = jnp.where(bad[:, None], jnp.float32(ERROR_COLOR), mean_c)
+        m2_c = jnp.where(bad[:, None], 0.0, m2_c)
+        return mean_c, m2_c, cnt[:, None]
     ids = jnp.tile(
         ray_ids if ray_ids is not None else jnp.arange(n, dtype=jnp.uint32), s
     )

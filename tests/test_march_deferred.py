@@ -131,6 +131,59 @@ def test_uint8_rows_match_reference_quantization(rig):
     assert abs(m0 - m1) / (abs(m0) + 1e-9) < 0.1
 
 
+def test_multilevel_compaction_scatters_to_owner_lanes(rig):
+    """Regression: with >= 2 compaction levels (n >= 65536 lanes) the
+    level-2 compact's local indices point into the level-1 buffer, so the
+    Welford merge-back must compose a global-index map through the cascade
+    — the old code scattered level-2 chunks at LOCAL indices into the full
+    buffer, folding ~3% of tail samples into the wrong pixels (per-lane
+    counts of 2 or 4 instead of n_subframes).
+
+    Check: (a) every lane folds exactly n_subframes samples; (b) the
+    65536-lane run matches the same rays traced in two 32768-lane calls
+    (single compaction level each) to float precision — RNG is keyed by
+    global ray id so per-sample values are bit-identical; only the Welford
+    chunk fold boundaries (and hence fp rounding) differ.  The broken
+    cascade produced order-1 per-lane errors here, 5e-8 after the fix.
+    """
+    static, _ = rig
+    cfg = SceneConfig(
+        cloud=CloudModel(size_m=600.0),
+        camera=CameraConfig(width=16, height=8),
+        rendering=CloudRendering(max_depth=15, sample_step=1.0 / 64.0),
+    )
+    density = procedural.cumulus(resolution=24, seed=3)
+    params, _ = scene_mod.build_scene(cfg, density)
+    params = inscatter.with_baked_inscatter(params, static)
+    basis = camera_ops.camera_basis(cfg.camera)
+    o0, d0 = camera_ops.generate_rays(basis, 16, 8)  # 128 rays
+    reps = 512  # -> 65536 lanes: cascade levels [8192, 1024]
+    o = jnp.tile(o0, (reps, 1))
+    d = jnp.tile(d0, (reps, 1))
+    n = o.shape[0]
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    s = 3
+    mean, m2, cnt = pt.trace_tick_moments(
+        params, static, o, d, 7, jnp.int32(0), s, ray_ids=ids
+    )
+    np.testing.assert_array_equal(np.asarray(cnt), np.float32(s))
+    # Two half-size calls: 32768 lanes -> one compaction level each.
+    h = n // 2
+    parts = [
+        pt.trace_tick_moments(
+            params, static, o[lo:lo + h], d[lo:lo + h], 7, jnp.int32(0), s,
+            ray_ids=ids[lo:lo + h],
+        )
+        for lo in (0, h)
+    ]
+    mean_b = np.concatenate([np.asarray(p[0]) for p in parts])
+    m2_b = np.concatenate([np.asarray(p[1]) for p in parts])
+    scale_m = np.abs(mean_b).max() + 1e-9
+    scale_v = np.abs(m2_b).max() + 1e-9
+    assert np.abs(np.asarray(mean) - mean_b).max() / scale_m < 1e-5
+    assert np.abs(np.asarray(m2) - m2_b).max() / scale_v < 1e-5
+
+
 def test_regen_tick_matches_megabatch_oracle(rig):
     """Lane-regeneration tick (ONE lane per pixel, finished samples respawn
     in place — pathtracer.trace_tick_moments) vs the legacy S x N megabatch
