@@ -6,20 +6,18 @@ The reference links the full OpenVDB C++ library; this build needs only the
 *file format* for the standard float 5-4-3 tree, so it implements that subset
 directly (no OpenVDB dependency, which this image does not ship):
 
-- archive header versions 220-224, ZIP and NONE compression, active-mask
-  value compression (all 7 per-node metadata modes), half floats rejected;
+- archive header versions 220-224; NONE, ZIP, and BLOSC compression
+  (blosc1 frames with byte shuffle + lz4/zlib/zstd — the subset OpenVDB
+  emits when built WITH_BLOSC, its default; see ``data/blosc1.py``),
+  active-mask value compression (all 7 per-node metadata modes), half
+  floats rejected;
 - tree topology: RootNode tiles+children, Internal(5)/Internal(4) masks and
   tile values, Leaf(3) masks and voxel buffers;
 - transforms: Affine/Scale/UniformScale/Translation/(Uniform)ScaleTranslate
   maps (voxel size recovered for CloudModel sizing);
-- writer emits version-224 archives (NONE compression, metadata mode 6 —
-  every value stored raw) used for round-trip tests and by
-  ``tools/vdb_to_npz.py --roundtrip``.
-
-Blosc-compressed files (OpenVDB's default when built WITH_BLOSC) are
-detected and rejected with a pointer to ``tools/vdb_to_npz.py`` (which uses
-pyopenvdb when available); this parser is validated by round-trip and
-against the published format docs, not against blosc archives.
+- writer emits version-224 archives (NONE, ZIP, or BLOSC compression,
+  metadata mode 6 — every value stored raw) used for round-trip tests and
+  by ``tools/vdb_to_npz.py --roundtrip``.
 
 Layout note: dense arrays here are [Z, Y, X] (the package-wide convention,
 ops/grid.py) while VDB coordinates are (x, y, z).
@@ -30,6 +28,8 @@ from __future__ import annotations
 import struct
 import uuid as uuid_mod
 import zlib
+
+from . import blosc1
 from dataclasses import dataclass, field
 from typing import BinaryIO, Dict, List, Optional, Tuple
 
@@ -118,18 +118,32 @@ def _save_mask(f: BinaryIO, bits: np.ndarray) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _read_raw_values(f: BinaryIO, count: int, zipped: bool) -> np.ndarray:
-    """The value payload, honoring the zip framing (io::unzipFromStream:
-    int64 byte count; negative magnitude means 'stored uncompressed')."""
+def _read_raw_values(f: BinaryIO, count: int, compression: int) -> np.ndarray:
+    """The value payload, honoring the zip/blosc framing (io::unzipFromStream
+    and io::bloscFromStream share it: int64 byte count; a non-positive count
+    means 'stored uncompressed').  Blosc takes precedence over zip when both
+    flags are set, as in io::readData."""
     nbytes = count * 4
-    if not zipped:
+    blosced = bool(compression & COMPRESS_BLOSC)
+    if not blosced and not (compression & COMPRESS_ZIP):
         return np.frombuffer(_read(f, nbytes), dtype="<f4").copy()
     stored = _read_struct(f, "<q")
     if stored <= 0:
         return np.frombuffer(_read(f, -stored if stored else nbytes), dtype="<f4").copy()
-    raw = zlib.decompress(_read(f, stored))
-    if len(raw) != nbytes:
-        raise VdbFormatError(f"zip payload {len(raw)} != expected {nbytes}")
+    payload = _read(f, stored)
+    if blosced:
+        raw = blosc1.decompress(payload)
+        # OpenVDB pads sub-PAD_BYTES buffers before compressing
+        # (io/Compression.cc bloscCompress) — tolerate a longer payload.
+        if len(raw) < nbytes:
+            raise VdbFormatError(
+                f"blosc payload {len(raw)} < expected {nbytes}"
+            )
+        raw = raw[:nbytes]
+    else:
+        raw = zlib.decompress(payload)
+        if len(raw) != nbytes:
+            raise VdbFormatError(f"zip payload {len(raw)} != expected {nbytes}")
     return np.frombuffer(raw, dtype="<f4").copy()
 
 
@@ -142,7 +156,6 @@ def _read_compressed_values(
     file_version: int = _FILE_VERSION,
 ) -> np.ndarray:
     """Reconstruct a node's ``count`` values from the stream."""
-    zipped = bool(compression & COMPRESS_ZIP)
     # Since file version 222 the per-buffer metadata byte is ALWAYS present
     # (writeCompressedValues emits NO_MASK_AND_ALL_VALS when active-mask
     # compression is off); before that it never is.
@@ -152,7 +165,7 @@ def _read_compressed_values(
         else NO_MASK_OR_INACTIVE_VALS
     )
     if meta == NO_MASK_AND_ALL_VALS:
-        return _read_raw_values(f, count, zipped)
+        return _read_raw_values(f, count, compression)
 
     inactive0 = np.float32(background)
     inactive1 = np.float32(-background)
@@ -173,7 +186,7 @@ def _read_compressed_values(
     ):
         sel_mask = _load_mask(f, count)
 
-    stored = _read_raw_values(f, int(value_mask.sum()), zipped)
+    stored = _read_raw_values(f, int(value_mask.sum()), compression)
     out = np.full(count, np.float32(background), dtype=np.float32)
     if meta == NO_MASK_AND_MINUS_BG:
         out[:] = inactive0  # -background; NOTE: two-state case is rare
@@ -185,10 +198,27 @@ def _read_compressed_values(
     return out
 
 
-def _write_compressed_values(f: BinaryIO, values: np.ndarray) -> None:
-    """Writer path: metadata mode 6 (all values verbatim), NONE compression."""
+def _write_compressed_values(
+    f: BinaryIO, values: np.ndarray, compression: int = COMPRESS_NONE
+) -> None:
+    """Writer path: metadata mode 6 (all values verbatim); NONE, ZIP, or
+    BLOSC payload framing (the int64-count framing shared by
+    io::zipToStream / io::bloscToStream: negative magnitude = stored raw)."""
     f.write(struct.pack("<b", NO_MASK_AND_ALL_VALS))
-    f.write(np.ascontiguousarray(values, dtype="<f4").tobytes())
+    raw = np.ascontiguousarray(values, dtype="<f4").tobytes()
+    if compression & COMPRESS_BLOSC:
+        comp = blosc1.compress(raw, typesize=4, codec="lz4", shuffle=True)
+    elif compression & COMPRESS_ZIP:
+        comp = zlib.compress(raw)
+    else:
+        f.write(raw)
+        return
+    if len(comp) < len(raw):
+        f.write(struct.pack("<q", len(comp)))
+        f.write(comp)
+    else:
+        f.write(struct.pack("<q", -len(raw)))
+        f.write(raw)
 
 
 # ---------------------------------------------------------------------------
@@ -451,11 +481,6 @@ def read_vdb(path: str, dense_limit: int = 2048) -> List[VdbGrid]:
             compression = archive_compression
             if file_version >= 222:
                 compression = _read_struct(f, "<I")
-            if compression & COMPRESS_BLOSC:
-                raise VdbFormatError(
-                    "blosc-compressed archive: convert offline with "
-                    "`python tools/vdb_to_npz.py <file> ` (uses pyopenvdb)"
-                )
             meta = _read_metamap(f)
             if grid_type != _FLOAT_TREE:
                 if end_pos <= 0:
@@ -542,7 +567,10 @@ def _upper_children(dense: np.ndarray):
                 yield (cx * UPPER_SPAN, cy * UPPER_SPAN, cz * UPPER_SPAN)
 
 
-def _write_tree_topology(f: BinaryIO, dense: np.ndarray, background: float) -> None:
+def _write_tree_topology(
+    f: BinaryIO, dense: np.ndarray, background: float,
+    compression: int = COMPRESS_NONE,
+) -> None:
     """Tree::writeTopology for a dense [Z, Y, X] array (masks + tile values;
     leaf voxel buffers are a separate stream section — ``_write_tree_buffers``)."""
     f.write(struct.pack("<I", 1))  # Tree topology buffer count
@@ -552,13 +580,15 @@ def _write_tree_topology(f: BinaryIO, dense: np.ndarray, background: float) -> N
     f.write(struct.pack("<I", len(children)))
     for origin in children:
         f.write(struct.pack("<iii", *origin))
-        _write_internal(f, dense, origin, _LOG2_UPPER, background)
+        _write_internal(f, dense, origin, _LOG2_UPPER, background, compression)
 
 
-def _write_tree_buffers(f: BinaryIO, dense: np.ndarray) -> None:
+def _write_tree_buffers(
+    f: BinaryIO, dense: np.ndarray, compression: int = COMPRESS_NONE
+) -> None:
     """Tree::writeBuffers — leaf voxel buffers in depth-first slot order."""
     for origin in _upper_children(dense):
-        _write_leaf_buffers(f, dense, origin, _LOG2_UPPER)
+        _write_leaf_buffers(f, dense, origin, _LOG2_UPPER, compression)
 
 
 def _node_slots(dense, origin, log2dim):
@@ -584,7 +614,8 @@ def _node_slots(dense, origin, log2dim):
                     yield slot, (ox, oy, oz), block
 
 
-def _write_internal(f, dense, origin, log2dim, background):
+def _write_internal(f, dense, origin, log2dim, background,
+                    compression=COMPRESS_NONE):
     n = (1 << log2dim) ** 3
     child_mask = np.zeros(n, bool)
     slots = list(_node_slots(dense, origin, log2dim))
@@ -592,10 +623,14 @@ def _write_internal(f, dense, origin, log2dim, background):
         child_mask[slot] = True
     _save_mask(f, child_mask)
     _save_mask(f, np.zeros(n, bool))  # no active tiles
-    _write_compressed_values(f, np.full(n, background, np.float32))
+    _write_compressed_values(
+        f, np.full(n, background, np.float32), compression
+    )
     for slot, corigin, _ in slots:
         if log2dim == _LOG2_UPPER:
-            _write_internal(f, dense, corigin, _LOG2_LOWER, background)
+            _write_internal(
+                f, dense, corigin, _LOG2_LOWER, background, compression
+            )
         else:
             _write_leaf_topology(f, dense, corigin)
 
@@ -613,25 +648,35 @@ def _write_leaf_topology(f, dense, origin):
     _save_mask(f, _leaf_values(dense, origin) != 0)
 
 
-def _write_leaf_buffers(f, dense, origin, log2dim):
+def _write_leaf_buffers(f, dense, origin, log2dim,
+                        compression=COMPRESS_NONE):
     for slot, corigin, _ in _node_slots(dense, origin, log2dim):
         if log2dim == _LOG2_UPPER:
-            _write_leaf_buffers(f, dense, corigin, _LOG2_LOWER)
+            _write_leaf_buffers(f, dense, corigin, _LOG2_LOWER, compression)
         else:
             # LeafNode::writeBuffers re-stores the value mask before the
             # compressed values (the mask is in the archive twice).
             values = _leaf_values(dense, corigin)
             _save_mask(f, values != 0)
-            _write_compressed_values(f, values)
+            _write_compressed_values(f, values, compression)
 
 
-def write_vdb(path: str, grid: VdbGrid) -> None:
-    """Write one float grid as a version-224 archive (NONE compression).
+def write_vdb(path: str, grid: VdbGrid, compression: str = "none") -> None:
+    """Write one float grid as a version-224 archive.
+
+    ``compression``: "none", "zip", or "blosc" (blosc1 lz4+shuffle frames —
+    the layout OpenVDB WITH_BLOSC emits; used to build genuine compressed
+    fixtures for the reader tests).
 
     Mirrors ``io::Archive::writeGrid``: the descriptor reserves space for
     the (gridPos, blockPos, endPos) triple, the grid body is written, and
     the real positions are patched back in.
     """
+    comp = {
+        "none": COMPRESS_NONE,
+        "zip": COMPRESS_ZIP,
+        "blosc": COMPRESS_BLOSC,
+    }[compression]
     if grid.bbox_min != (0, 0, 0):
         raise VdbFormatError("writer only supports origin-anchored grids")
     dense = np.asarray(grid.dense, np.float32)
@@ -650,16 +695,16 @@ def write_vdb(path: str, grid: VdbGrid) -> None:
         stream_pos_at = f.tell()
         f.write(struct.pack("<qqq", 0, 0, 0))  # placeholder positions
         grid_pos = f.tell()
-        f.write(struct.pack("<I", COMPRESS_NONE))
+        f.write(struct.pack("<I", comp))
         _write_metamap(f, dict(grid.metadata))
         _write_string(f, "AffineMap")
         mat = np.eye(4, dtype="<f8") * 1.0
         mat[0, 0] = mat[1, 1] = mat[2, 2] = grid.voxel_size
         mat[3, 3] = 1.0
         f.write(mat.tobytes())
-        _write_tree_topology(f, dense, grid.background)
+        _write_tree_topology(f, dense, grid.background, comp)
         block_pos = f.tell()
-        _write_tree_buffers(f, dense)
+        _write_tree_buffers(f, dense, comp)
         end_pos = f.tell()
         f.seek(stream_pos_at)
         f.write(struct.pack("<qqq", grid_pos, block_pos, end_pos))

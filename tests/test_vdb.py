@@ -1,6 +1,8 @@
 """OpenVDB-subset reader/writer round-trip tests (data/vdb.py) — the
 Resources::loadVolumeBuffer ingestion analog (Resources.cpp:68-155)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -63,23 +65,30 @@ def test_bad_magic(tmp_path):
         vdb.read_vdb(str(path))
 
 
-def test_blosc_rejected(tmp_path):
-    """A grid flagged blosc-compressed must fail with the converter hint."""
-    import struct
-
-    dense = np.ones((8, 8, 8), np.float32)
-    path = str(tmp_path / "b.vdb")
-    vdb.write_vdb(path, vdb.VdbGrid("density", dense))
-    raw = bytearray(open(path, "rb").read())
-    # Patch the per-grid compression flags (uint32 after the descriptor:
-    # unique name, type, instance parent, and the stream-position triple).
-    off = 8 + 4 + 8 + 1 + 36 + 4 + 4  # header + empty metamap + grid count
-    off += 4 + len("density") + 4 + len("Tree_float_5_4_3")
-    off += 4 + 24  # empty instance-parent string + (grid, block, end) pos
-    raw[off : off + 4] = struct.pack("<I", vdb.COMPRESS_BLOSC)
-    open(path, "wb").write(bytes(raw))
-    with pytest.raises(vdb.VdbFormatError, match="blosc"):
-        vdb.read_vdb(path)
+@pytest.mark.parametrize("compression", ["zip", "blosc"])
+def test_compressed_archive_equals_uncompressed_twin(tmp_path, compression):
+    """A blosc-compressed archive (OpenVDB's WITH_BLOSC default layout:
+    blosc1 lz4+shuffle frames behind the int64 stream framing) loads
+    identically to its uncompressed twin — no pyopenvdb needed
+    (reference reads these through the library, Resources.cpp:68-155)."""
+    dense = _random_sparse((40, 24, 32), seed=11, density=0.4)
+    plain = str(tmp_path / "plain.vdb")
+    packed = str(tmp_path / f"{compression}.vdb")
+    vdb.write_vdb(plain, vdb.VdbGrid("density", dense, voxel_size=1.5))
+    vdb.write_vdb(
+        packed, vdb.VdbGrid("density", dense, voxel_size=1.5),
+        compression=compression,
+    )
+    if compression == "blosc":  # compression must actually engage
+        assert os.path.getsize(packed) < os.path.getsize(plain)
+    a = vdb.read_vdb(plain)[0]
+    b = vdb.read_vdb(packed)[0]
+    np.testing.assert_array_equal(a.dense, b.dense)
+    assert a.bbox_min == b.bbox_min
+    assert a.voxel_size == b.voxel_size
+    np.testing.assert_array_equal(
+        clouds.load_density(plain), clouds.load_density(packed)
+    )
 
 
 def test_clouds_load_density_vdb(tmp_path):
