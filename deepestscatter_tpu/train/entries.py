@@ -71,6 +71,7 @@ def train_disney(
         config=config,
         mesh=mesh,
     )
+    t.restore()  # resume a preempted run: warm optimizer, exact trajectory
     t.run(epochs=epochs)
     return t
 
@@ -132,6 +133,7 @@ def train_baked(
         mesh=mesh,
         export_params=export_params,
     )
+    t.restore()  # resume a preempted run: warm optimizer, exact trajectory
     t.run(epochs=epochs)
     return t
 
@@ -178,5 +180,6 @@ def train_mimic(
         config=config,
         mesh=mesh,
     )
+    t.restore()  # resume a preempted run: warm optimizer, exact trajectory
     t.run(epochs=epochs)
     return t

@@ -184,7 +184,20 @@ class Trainer:
         return os.path.join(self.run_dir, fname)
 
     def save_checkpoint(self, is_best: bool) -> None:
-        save_pytree(self.checkpoint_path(), self.state.params)
+        """Checkpoint the FULL train state — params, optimizer state, step,
+        and the best-val watermark (the reference checkpoints
+        ``optimizer.state_dict()`` alongside the model, Trainer.py:164-169).
+        A preempted run resumes with warm Adam moments and does not
+        re-export a worse model over ``model_best``."""
+        save_pytree(
+            self.checkpoint_path(),
+            {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+                "best_val": jnp.float32(self.best_val),
+            },
+        )
         if is_best:
             save_pytree(self.checkpoint_path(best=True), self.state.params)
             self.export()
@@ -200,13 +213,29 @@ class Trainer:
 
     def restore(self) -> bool:
         path = self.checkpoint_path()
-        if os.path.exists(path):
+        if not os.path.exists(path):
+            return False
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "best_val": jnp.float32(0.0),
+        }
+        try:
+            st = load_pytree(path, template)
+        except (ValueError, KeyError):
+            # Pre-round-4 checkpoints stored the bare params pytree; resume
+            # with a cold optimizer rather than refusing to restore.
             params = load_pytree(path, self.state.params)
             self.state = TrainState(
                 params, self.tx.init(params), self.state.step
             )
             return True
-        return False
+        self.state = TrainState(
+            st["params"], st["opt_state"], jnp.int32(st["step"])
+        )
+        self.best_val = float(st["best_val"])
+        return True
 
     # -- the loop -----------------------------------------------------------
 
@@ -231,9 +260,18 @@ class Trainer:
         return val_loss
 
     def run(self, epochs: Optional[int] = None) -> None:
+        """The epoch loop.  After ``restore()`` the first ``state.step``
+        batches are skipped (data order is keyed by (seed, epoch), so batch
+        k of the schedule is deterministic): the resumed run continues the
+        exact uninterrupted trajectory — warm optimizer, same data."""
         cfg = self.config
+        done = int(self.state.step)
+        consumed = 0
         for epoch in range(epochs if epochs is not None else cfg.epochs):
             for batch, labels in self.train_batches(epoch):
+                consumed += 1
+                if consumed <= done:
+                    continue
                 self.state, loss = self._train_step(
                     self.state, batch, jnp.asarray(labels)
                 )

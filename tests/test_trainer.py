@@ -97,11 +97,67 @@ def test_trainer_loop_checkpoints_and_exports(model_and_params, tmp_path):
     assert os.path.exists(t.checkpoint_path(best=True))
     assert os.path.exists(os.path.join(t.run_dir, "DisneyModel.params.msgpack"))
     assert os.path.exists(os.path.join(t.run_dir, "metrics.jsonl"))
-    # Restore round-trips.
-    restored = trainer_mod.load_pytree(t.checkpoint_path(), variables)
-    leaves_a = jax.tree.leaves(restored)
-    leaves_b = jax.tree.leaves(t.state.params)
-    for a, b in zip(leaves_a, leaves_b):
+    # Restore round-trips the FULL state (params + opt_state + step +
+    # best_val — the reference checkpoints optimizer.state_dict() too,
+    # Trainer.py:164-169).
+    t2 = trainer_mod.Trainer(
+        name="DisneyModel",
+        apply_fn=model.apply,
+        init_params=variables,
+        train_batches=train_batches,
+        val_batch=lambda: (jnp.asarray(x), jnp.asarray(y)),
+        config=TrainConfig(validate_every=2, run_dir=str(tmp_path)),
+    )
+    assert t2.restore()
+    assert int(t2.state.step) == int(t.state.step) == 4
+    assert t2.best_val == t.best_val
+    for tree_a, tree_b in (
+        (t2.state.params, t.state.params),
+        (t2.state.opt_state, t.state.opt_state),
+    ):
+        for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_exact_trajectory(model_and_params, tmp_path):
+    """Train 6 steps uninterrupted vs train 3 → checkpoint → fresh Trainer →
+    restore → train 3 more: identical final params AND losses (warm Adam
+    moments, step counter, and best-val watermark all survive the restart —
+    the eval pipeline's preemption-recovery contract)."""
+    model, variables = model_and_params
+    x, y = _synthetic(128)
+
+    def batches_n(n):
+        def train_batches(epoch):
+            for _ in range(n):
+                yield jnp.asarray(x), jnp.asarray(y)
+        return train_batches
+
+    def make(run_dir, n_batches):
+        return trainer_mod.Trainer(
+            name="DisneyModel",
+            apply_fn=model.apply,
+            init_params=variables,
+            train_batches=batches_n(n_batches),
+            val_batch=lambda: (jnp.asarray(x), jnp.asarray(y)),
+            config=TrainConfig(validate_every=3, run_dir=run_dir),
+        )
+
+    full = make(str(tmp_path / "full"), 6)
+    full.run(epochs=1)
+
+    part = make(str(tmp_path / "part"), 3)
+    part.run(epochs=1)
+    resumed = make(str(tmp_path / "part"), 6)
+    assert resumed.restore()
+    assert int(resumed.state.step) == 3
+    resumed.run(epochs=1)  # skips the 3 consumed batches, runs 3 more
+
+    assert int(resumed.state.step) == int(full.state.step) == 6
+    assert resumed.best_val == full.best_val
+    for a, b in zip(
+        jax.tree.leaves(resumed.state.params), jax.tree.leaves(full.state.params)
+    ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
