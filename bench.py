@@ -34,7 +34,7 @@ _ANCHOR_MRAYS = 0.043
 _MIN_SECONDS = 10.0
 
 
-def _measure(res: int, report_stats: bool) -> dict:
+def _measure(res: int, report_stats: bool, brick: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -61,7 +61,7 @@ def _measure(res: int, report_stats: bool) -> dict:
         # uint8 march rows ARE the reference's storage semantics (density
         # and in-scatter grids are uint8 textures: Resources.cpp:93-96,
         # inScatter.cu:65) and gather ~2x faster than float32 rows.
-        rendering=CloudRendering(march_dtype="uint8"),
+        rendering=CloudRendering(march_dtype="uint8", march_brick=brick),
     )
     density = procedural.cumulus(resolution=res, seed=11)
     params, static = scene_mod.build_scene(cfg, density)
@@ -137,9 +137,12 @@ def _measure(res: int, report_stats: bool) -> dict:
         rows_per_tick += float(((d_iters + d_nres) * bufs).sum())
     achieved_rows_s = rows_per_tick * n_ticks / elapsed
 
-    # Raw gather ceiling at the SAME table size and row dtype: a scan of
-    # back-to-back jnp.take calls with index churn (nothing but the gather).
-    rows_tab = params.march_rows.reshape(-1, 16)
+    # Raw gather ceiling at the SAME table size, row width, and dtype: a
+    # scan of back-to-back jnp.take calls with index churn (nothing but the
+    # gather).  Row width follows the operating point: 16 B cell rows, or
+    # 2*(brick+1)^3 B brick rows.
+    row_width = 2 * ((brick + 1) ** 3 if brick else 8)
+    rows_tab = params.march_rows.reshape(-1, row_width)
     idx0 = jnp.asarray(
         np.random.default_rng(0).integers(0, rows_tab.shape[0], width * height),
         jnp.uint32,
@@ -180,13 +183,31 @@ def _measure(res: int, report_stats: bool) -> dict:
     return out
 
 
+#: 256^3 operating brick (cells per axis served by one fused-row gather):
+#: 0 = 16 B cell rows.  Set from the measured --brick-sweep (brick rows
+#: cut the dominant per-row fetch count by ~brick x and shrink the 256^3
+#: table from 268 MB to 65 MB at B=4); override with --brick N.
+_DEFAULT_BRICK_256 = 0
+
+
 def main() -> None:
     from deepestscatter_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
 
+    brick = _DEFAULT_BRICK_256
+    if "--brick" in sys.argv:
+        brick = int(sys.argv[sys.argv.index("--brick") + 1])
+    if "--brick-sweep" in sys.argv:
+        # Commit-grade sweep at the 256^3 point (VERDICT r3 task 2a);
+        # prints one JSON object per brick, NOT the driver line.
+        for b in (0, 2, 3, 4, 6):
+            r = _measure(256, report_stats=True, brick=b)
+            print(json.dumps({"brick": b, **r}), flush=True)
+        return
+
     r64 = _measure(64, report_stats=False)
-    r256 = _measure(256, report_stats=True)
+    r256 = _measure(256, report_stats=True, brick=brick)
 
     print(
         json.dumps(
@@ -195,6 +216,7 @@ def main() -> None:
                 "value": r256["mrays_per_s"],
                 "unit": "Mrays/s",
                 "vs_baseline": round(r256["mrays_per_s"] / _ANCHOR_MRAYS, 3),
+                "brick_256": brick,
                 "grid64": r64,
                 "grid256": r256,
                 "roofline": {

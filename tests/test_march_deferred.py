@@ -131,6 +131,46 @@ def test_uint8_rows_match_reference_quantization(rig):
     assert abs(m0 - m1) / (abs(m0) + 1e-9) < 0.1
 
 
+def test_brick_rows_match_cell_rows(rig):
+    """Brick rows (one gather serves a (brick+1)^3 corner lattice,
+    ops.grid.pack_bricks) must reproduce the 8-corner cell-row estimator
+    bit-for-bit: identical cell/frac math, same RNG draws — the only
+    change is which fetch serves the trilinear weights."""
+    static, render = rig
+    img_cell = render(
+        dataclasses.replace(static, march_empty_skip=False)
+    )
+    for brick in (2, 3, 4):
+        cfg = SceneConfig(
+            cloud=CloudModel(size_m=600.0),
+            camera=CameraConfig(width=16, height=8),
+            rendering=CloudRendering(
+                max_depth=15, sample_step=1.0 / 64.0, march_brick=brick
+            ),
+        )
+        density = procedural.cumulus(resolution=24, seed=3)
+        params_b, static_b = scene_mod.build_scene(cfg, density)
+        params_b = inscatter.with_baked_inscatter(params_b, static_b)
+        assert static_b.march_brick == brick
+        basis = camera_ops.camera_basis(cfg.camera)
+        o, d = camera_ops.generate_rays(basis, 16, 8)
+        img_b = np.asarray(
+            pt.render_subframe(
+                params_b,
+                dataclasses.replace(static_b, march_empty_skip=False),
+                o, d, 7, jnp.int32(0),
+            )
+        )
+        scale = np.abs(img_cell).max() + 1e-9
+        assert np.abs(img_b - img_cell).max() / scale < 1e-5, brick
+        # And with empty-brick exit jumps on: estimator mean unchanged.
+        img_skip = np.asarray(
+            pt.render_subframe(params_b, static_b, o, d, 7, jnp.int32(0))
+        )
+        m0, m1 = float(img_cell.mean()), float(img_skip.mean())
+        assert abs(m0 - m1) / (abs(m0) + 1e-9) < 2e-2, brick
+
+
 def test_multilevel_compaction_scatters_to_owner_lanes(rig):
     """Regression: with >= 2 compaction levels (n >= 65536 lanes) the
     level-2 compact's local indices point into the level-1 buffer, so the

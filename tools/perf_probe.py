@@ -29,14 +29,15 @@ def timeit(fn, *args, n=3):
     return (time.time() - t0) / n
 
 
-def gather_bench(ncells, label):
+def gather_bench(ncells, label, row_bytes=16, dtype="uint8"):
     # rows passed as an ARGUMENT (a closed-over table would embed a 268 MB
     # constant in the HLO → axon tunnel HTTP 413) and generated ON DEVICE
     # (a 268 MB host→device transfer through the tunnel is also fragile).
+    width = row_bytes if dtype == "uint8" else row_bytes // 4
     rows = jax.jit(
         lambda: jax.random.randint(
-            jax.random.PRNGKey(0), (ncells, 16), 0, 255, dtype=jnp.uint8
-        )
+            jax.random.PRNGKey(0), (ncells, width), 0, 255, dtype=jnp.uint8
+        ).astype(jnp.dtype(dtype))
     )()
     idx0 = jnp.asarray(np.random.randint(0, ncells, (BATCH,), np.int64), jnp.uint32)
 
@@ -57,8 +58,42 @@ def gather_bench(ncells, label):
     dt = timeit(run, rows, idx0)
     per_row = dt / (BATCH * ITERS)
     print(f"{label}: {dt*1e3:.1f} ms/{ITERS} iters -> {per_row*1e9:.2f} ns/row, "
-          f"{BATCH*ITERS/dt/1e6:.0f} Mrows/s, {BATCH*ITERS*16/dt/1e9:.1f} GB/s effective")
+          f"{BATCH*ITERS/dt/1e6:.0f} Mrows/s, "
+          f"{BATCH*ITERS*row_bytes/dt/1e9:.1f} GB/s effective")
     return per_row
+
+
+def sweep(report):
+    """The committed cost-model evidence (docs/PERFORMANCE.md cites this):
+    raw random-row gather rate across table size x row width x dtype.
+    Row widths are the real operating points: 16 B = packed cell rows,
+    54 B = brick-2 rows, 250 B = brick-4 rows (2*(B+1)^3 uint8)."""
+    out = []
+    for dtype in ("uint8", "float32"):
+        for row_bytes in (16, 56, 252):
+            # float32 rows need 4-byte-aligned widths; 56/252 stay
+            # comparable to the 54/250 uint8 brick rows.
+            if dtype == "float32" and row_bytes % 4:
+                continue
+            for table_mb in (4, 32, 256, 1024):
+                nrows = table_mb * (1 << 20) // row_bytes
+                per_row = gather_bench(
+                    nrows,
+                    f"gather {table_mb}MB x {row_bytes}B {dtype}",
+                    row_bytes=row_bytes,
+                    dtype=dtype,
+                )
+                out.append(
+                    {
+                        "table_mb": table_mb,
+                        "row_bytes": row_bytes,
+                        "dtype": dtype,
+                        "ns_per_row": round(per_row * 1e9, 3),
+                        "mrows_per_s": round(1e-6 / per_row, 1),
+                        "gb_per_s": round(row_bytes / per_row / 1e9, 2),
+                    }
+                )
+    report["gather_sweep"] = out
 
 
 def main():
@@ -69,6 +104,13 @@ def main():
         out_json = sys.argv[sys.argv.index("--json") + 1]
     report = {"batch": BATCH, "iters": ITERS}
     print("devices:", jax.devices())
+    if "--sweep" in sys.argv:
+        sweep(report)
+        if out_json:
+            with open(out_json, "w") as f:
+                json.dump(report, f, indent=1)
+            print(f"wrote {out_json}")
+        return
     g64 = gather_bench(64**3, "gather 64^3 (4 MB)")
     g256 = gather_bench(256**3, "gather 256^3 (268 MB)")
     report["gather_ns_per_row_64cube"] = round(g64 * 1e9, 3)
