@@ -34,7 +34,10 @@ def make_mesh(
     """
     devs = np.asarray(devices if devices is not None else jax.devices())
     if axis_sizes is None:
-        axis_sizes = (len(devs),) + (1,) * (len(axis_names) - 1)
+        if devs.ndim == len(axis_names):
+            axis_sizes = devs.shape  # pre-shaped device grid
+        else:
+            axis_sizes = (devs.size,) + (1,) * (len(axis_names) - 1)
     return Mesh(devs.reshape(axis_sizes), tuple(axis_names))
 
 

@@ -120,12 +120,24 @@ def make_spatial_subframe(
     axis: str = "space",
     halo: int = 1,
     steps_per_phase: Optional[int] = None,
+    data_axis: Optional[str] = None,
 ):
     """Build the jitted sharded-grid subframe renderer.
 
     Returns ``fn(scene, origins, directions, seed, subframe_id, ray_ids)
     -> radiance [N, 3]`` — the spatial-decomposition analog of
     ``pathtracer.render_subframe``.
+
+    ``data_axis`` composes ray/tile data parallelism WITH the volume
+    decomposition on a 2D mesh (``Mesh(devices.reshape(D, S),
+    ("data", "space"))``): rays shard over ``data_axis`` while the grid
+    slabs shard over ``axis`` — each space group then marches only its
+    1/D ray shard, so the per-phase ownership psum moves O(N/D x state)
+    per device instead of O(N x state), and the two parallelism axes
+    scale independently (more chips → more rays AND bigger grids).  The
+    march body is UNCHANGED: its collectives name only the space axis,
+    and RNG keys on global ray ids, so renders are mesh-layout invariant
+    (tested in tests/test_spatial_render.py).
     """
     n_dev = int(mesh.shape[axis])
     nz, ny, nx = static.grid_shape
@@ -326,11 +338,15 @@ def make_spatial_subframe(
         return jnp.where(hit[:, None], radiance, miss)
 
     rep = P()
+    ray = P(data_axis) if data_axis else rep
     fn = shard_map(
         local_subframe,
         mesh=mesh,
-        in_specs=(P(axis),) + (rep,) * 6,
-        out_specs=rep,
+        # slab_rows shard over the space axis; origins/directions/ray_ids
+        # shard over the data axis (replicated when data_axis is None);
+        # scene/seed/subframe replicate.
+        in_specs=(P(axis), rep, ray, ray, rep, rep, ray),
+        out_specs=ray,
         check_vma=False,
     )
 

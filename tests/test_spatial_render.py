@@ -115,6 +115,34 @@ def test_each_device_holds_only_its_slab():
     np.testing.assert_array_equal(d3[1:-1], full[3 * slab : 4 * slab])
 
 
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1)])
+def test_data_x_space_mesh_composes(shape):
+    """2D (data x space) mesh: rays shard over "data" while the grid
+    slabs shard over "space" — the two parallelism axes compose in ONE
+    shard_map, and every mesh layout renders bitwise identically to the
+    1D spatial render (RNG keyed by global ray id; the march collectives
+    name only the space axis)."""
+    n_data, n_space = shape
+    cfg, params, static = _scene()
+    o, d, ids = _rays(cfg)
+    ref, _ = _spatial_render(params, static, o, d, ids, n_dev=1)
+    mesh = make_mesh(
+        devices=np.asarray(jax.devices()).reshape(n_data, n_space),
+        axis_names=("data", "space"),
+    )
+    scene = shard_scene(mesh, params, axis="space")
+    fn = make_spatial_subframe(mesh, static, axis="space", data_axis="data")
+    out = fn(scene, o, d, jnp.uint32(3), jnp.uint32(1), ids)
+    # Rays really shard: each device holds N/n_data rays of the output.
+    assert out.addressable_shards[0].data.shape[0] == o.shape[0] // n_data
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    # And the grid really shards: slab thickness follows n_space.
+    nz = static.grid_shape[0]
+    assert scene.slab_rows.addressable_shards[0].data.shape[1] == (
+        nz // n_space + 2
+    )
+
+
 def test_spatial_beyond_single_device_capacity_shape():
     """The only-fits-sharded path: march rows are built host-side and
     scattered straight to slabs — no full-grid device array is ever
