@@ -66,7 +66,6 @@ class CloudRendering:
     #: Whether to sample sky/sun at path vertices (disabled in the reference,
     #: cloudRadianceMaterials.cu:23-25).
     sample_sky: bool = False
-    sky_sample_probability: float = 0.1
     #: Russian roulette: starting at this bounce depth, paths survive each
     #: bounce with probability ``rr_survival`` and surviving contributions
     #: are reweighted by 1/q — an UNBIASED variance/work trade the reference

@@ -21,7 +21,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .config import RenderMode, SceneConfig
+from .config import MipmapsMode, RenderMode, SceneConfig
 from .ops import grid as grid_ops
 from .ops.phase import PhaseTable, load_phase_table
 
@@ -163,7 +163,11 @@ def build_scene(
     (ScatterSampleCollector.h:32).
     """
     density = grid_ops.normalize_density(density)
+    # MipmapsMode.OFF keeps only the base level (SceneDescription.h
+    # Cloud::Model::mipmapsOn; descriptor LODs then clamp to level 0).
     mips = grid_ops.build_mipmaps(density)
+    if cfg.cloud.mipmaps is not MipmapsMode.ON:
+        mips = mips[:1]
     nz, ny, nx = density.shape
     bbox = grid_ops.bbox_size_from_shape(density.shape)
 

@@ -251,3 +251,32 @@ class TestExr:
         exr.write_exr(p, img)
         back = exr.read_exr(p)
         np.testing.assert_array_equal(back, img)
+
+
+def test_mipmaps_off_keeps_base_level_only():
+    """CloudModel(mipmaps=OFF) builds a 1-level pyramid (SceneDescription.h
+    mipmapsOn); descriptor LODs clamp to level 0 and gathers still work."""
+    import jax.numpy as jnp
+
+    from deepestscatter_tpu import scene as scene_mod
+    from deepestscatter_tpu.config import (
+        CloudModel,
+        MipmapsMode,
+        SceneConfig,
+    )
+    from deepestscatter_tpu.data import procedural
+    from deepestscatter_tpu.ops import descriptor as desc_ops
+
+    density = procedural.cumulus(resolution=16, seed=2)
+    cfg = SceneConfig(cloud=CloudModel(size_m=800.0, mipmaps=MipmapsMode.OFF))
+    params, static = scene_mod.build_scene(cfg, density)
+    assert len(params.density_mips) == 1
+    assert static.n_mips == 1
+    pos = jnp.zeros((4, 3)) + 0.5 * params.bbox_size
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (4, 1))
+    layers = desc_ops.gather_descriptor(params, static, pos, d, n_layers=10)
+    assert bool(jnp.isfinite(layers).all())
+
+    cfg_on = SceneConfig(cloud=CloudModel(size_m=800.0))
+    params_on, _ = scene_mod.build_scene(cfg_on, density)
+    assert len(params_on.density_mips) > 1
