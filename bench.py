@@ -183,6 +183,60 @@ def _measure(res: int, report_stats: bool, brick: int = 0) -> dict:
     return out
 
 
+def _measure_neural(res: int = 256, width: int = 512, height: int = 256) -> dict:
+    """Steady-state ms/frame of the neural renderers at the reference's
+    renderCloud operating point (512x256, Tasks.cpp:49-50; the reference
+    prints MS/FRAME in GuiExecutionLoop.cpp:114-128).  One frame = one
+    sample per pixel (the analog of one subframe launch).  Weights are
+    fresh-init: throughput does not depend on the values."""
+    import time as _time
+
+    import jax
+
+    from deepestscatter_tpu import scene as scene_mod, tasks
+    from deepestscatter_tpu.config import (
+        CameraConfig,
+        CloudModel,
+        CloudRendering,
+        SceneConfig,
+    )
+    from deepestscatter_tpu.data import procedural
+    from deepestscatter_tpu.render import camera as camera_ops, inscatter
+
+    cfg = SceneConfig(
+        cloud=CloudModel(size_m=2000.0),
+        camera=CameraConfig(width=width, height=height),
+        rendering=CloudRendering(march_dtype="uint8"),
+    )
+    density = procedural.cumulus(resolution=res, seed=11)
+    params, static = scene_mod.build_scene(cfg, density)
+    params = inscatter.with_baked_inscatter(params, static)
+    basis = camera_ops.camera_basis(cfg.camera)
+    out = {}
+    for kind in ("nn", "bnn"):
+        t0 = _time.time()
+        r = tasks._load_neural_renderer(kind, params, static, ":init:")
+        init_s = _time.time() - t0  # includes the BNN probe-lattice bake
+        img = r.render_frame(params, static, width, height, basis, seed=1)
+        jax.block_until_ready(img)
+        t0 = _time.time()
+        n = 0
+        while _time.time() - t0 < _MIN_SECONDS:
+            img = r.render_frame(
+                params, static, width, height, basis, seed=2 + n
+            )
+            jax.block_until_ready(img)
+            n += 1
+        ms = (_time.time() - t0) / n * 1e3
+        out[kind] = {
+            "ms_per_frame": round(ms, 1),
+            "fps": round(1e3 / ms, 2),
+            "init_s": round(init_s, 1),
+            "frames": n,
+        }
+    return out
+
+
 #: 256^3 operating brick (cells per axis served by one fused-row gather):
 #: 0 = 16 B cell rows.  Set from the measured --brick-sweep (brick rows
 #: cut the dominant per-row fetch count by ~brick x and shrink the 256^3
@@ -208,6 +262,7 @@ def main() -> None:
 
     r64 = _measure(64, report_stats=False)
     r256 = _measure(256, report_stats=True, brick=brick)
+    neural = _measure_neural(256)
 
     print(
         json.dumps(
@@ -219,6 +274,7 @@ def main() -> None:
                 "brick_256": brick,
                 "grid64": r64,
                 "grid256": r256,
+                "neural_512x256": neural,
                 "roofline": {
                     "Mrows_per_s_achieved": r256.get("rows_per_s"),
                     "Mrows_per_s_ceiling": r256.get("roofline_rows_per_s"),
