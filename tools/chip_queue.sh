@@ -28,6 +28,8 @@ timeout 3600 python -u bench.py --brick-sweep > /tmp/brick_sweep.jsonl 2>> "$LOG
 cat /tmp/brick_sweep.jsonl >> "$LOG"
 echo "[queue] 3/4 grid64 bisect" >> "$LOG"
 timeout 2400 python -u tools/grid64_bisect.py --json GRID64_BISECT.json >> "$LOG" 2>&1
+echo "[queue] 3.5/4 pallas gather probe" >> "$LOG"
+timeout 1200 python -u tools/pallas_gather_probe.py --json PALLAS_GATHER.json >> "$LOG" 2>&1
 echo "[queue] 4/4 drive (verify) on chip" >> "$LOG"
 timeout 580 python -u tools/drive_render.py >> "$LOG" 2>&1
 echo "[queue] all done $(date)" >> "$LOG"

@@ -29,7 +29,7 @@ def timeit(fn, *args, n=3):
     return (time.time() - t0) / n
 
 
-def gather_bench(ncells, label, row_bytes=16, dtype="uint8"):
+def gather_bench(ncells, label, row_bytes=16, dtype="uint8", sorted_idx=False):
     # rows passed as an ARGUMENT (a closed-over table would embed a 268 MB
     # constant in the HLO → axon tunnel HTTP 413) and generated ON DEVICE
     # (a 268 MB host→device transfer through the tunnel is also fragile).
@@ -39,7 +39,10 @@ def gather_bench(ncells, label, row_bytes=16, dtype="uint8"):
             jax.random.PRNGKey(0), (ncells, width), 0, 255, dtype=jnp.uint8
         ).astype(jnp.dtype(dtype))
     )()
-    idx0 = jnp.asarray(np.random.randint(0, ncells, (BATCH,), np.int64), jnp.uint32)
+    idx_host = np.random.randint(0, ncells, (BATCH,), np.int64)
+    if sorted_idx:
+        idx_host = np.sort(idx_host)
+    idx0 = jnp.asarray(idx_host, jnp.uint32)
 
     @jax.jit
     def run(rows, idx):
@@ -48,8 +51,13 @@ def gather_bench(ncells, label, row_bytes=16, dtype="uint8"):
             r = jnp.take(rows, idx.astype(jnp.int32), axis=0, mode="clip")
             acc = acc + r[:, :8].astype(jnp.float32).sum(-1)
             # churn the indices so iterations don't collapse (uint32: int32
-            # would wrap negative and clip-clamp lanes to row 0)
-            idx = (idx * jnp.uint32(1103515245) + jnp.uint32(12345)) % jnp.uint32(ncells)
+            # would wrap negative and clip-clamp lanes to row 0).  The
+            # sorted stream keeps its order (+1 per iteration) — the
+            # best case a ray-binning pass could manufacture.
+            if sorted_idx:
+                idx = (idx + jnp.uint32(1)) % jnp.uint32(ncells)
+            else:
+                idx = (idx * jnp.uint32(1103515245) + jnp.uint32(12345)) % jnp.uint32(ncells)
             return (idx, acc), None
 
         (idx, acc), _ = jax.lax.scan(body, (idx, jnp.zeros(BATCH)), None, length=ITERS)
@@ -77,22 +85,22 @@ def sweep(report):
                 continue
             for table_mb in (4, 32, 256, 1024):
                 nrows = table_mb * (1 << 20) // row_bytes
-                per_row = gather_bench(
-                    nrows,
-                    f"gather {table_mb}MB x {row_bytes}B {dtype}",
-                    row_bytes=row_bytes,
-                    dtype=dtype,
-                )
-                out.append(
-                    {
-                        "table_mb": table_mb,
-                        "row_bytes": row_bytes,
-                        "dtype": dtype,
-                        "ns_per_row": round(per_row * 1e9, 3),
-                        "mrows_per_s": round(1e-6 / per_row, 1),
-                        "gb_per_s": round(row_bytes / per_row / 1e9, 2),
-                    }
-                )
+                rec = {
+                    "table_mb": table_mb,
+                    "row_bytes": row_bytes,
+                    "dtype": dtype,
+                }
+                for kind, srt in (("random", False), ("sorted", True)):
+                    per_row = gather_bench(
+                        nrows,
+                        f"gather {table_mb}MB x {row_bytes}B {dtype} {kind}",
+                        row_bytes=row_bytes,
+                        dtype=dtype,
+                        sorted_idx=srt,
+                    )
+                    rec[f"ns_per_row_{kind}"] = round(per_row * 1e9, 3)
+                    rec[f"mrows_per_s_{kind}"] = round(1e-6 / per_row, 1)
+                out.append(rec)
     report["gather_sweep"] = out
 
 
