@@ -298,3 +298,42 @@ def test_two_inactive_vals_selection_mask():
     np.testing.assert_array_equal(out[value_mask], active_vals)
     assert np.all(out[sel] == 9.0)
     assert np.all(out[~value_mask & ~sel] == 7.0)
+
+
+def test_masked_blosc_compression_read():
+    """Reader handles active-mask + BLOSC buffers — the encoding real
+    OpenVDB WITH_BLOSC archives use for every node (io::readCompressedValues
+    with COMPRESS_ACTIVE_MASK | COMPRESS_BLOSC): metadata byte, then the
+    int64-framed blosc frame holding only the active values."""
+    import io as _io
+    import struct
+
+    from deepestscatter_tpu.data import blosc1
+
+    count = 512
+    rng = np.random.default_rng(3)
+    value_mask = rng.random(count) < 0.4
+    active_vals = np.round(
+        rng.random(int(value_mask.sum()), dtype=np.float32), 2
+    )
+    background = np.float32(0.25)
+
+    frame = blosc1.compress(
+        active_vals.astype("<f4").tobytes(), typesize=4, codec="lz4"
+    )
+    buf = _io.BytesIO()
+    buf.write(struct.pack("<b", vdb.NO_MASK_OR_INACTIVE_VALS))
+    buf.write(struct.pack("<q", len(frame)))
+    buf.write(frame)
+    buf.seek(0)
+    out = vdb._read_compressed_values(
+        buf,
+        count,
+        value_mask,
+        vdb.COMPRESS_BLOSC | vdb.COMPRESS_ACTIVE_MASK,
+        float(background),
+    )
+    np.testing.assert_array_equal(out[value_mask], active_vals)
+    np.testing.assert_array_equal(
+        out[~value_mask], np.full(int((~value_mask).sum()), background)
+    )
