@@ -17,10 +17,10 @@ Pipeline (every stage resumable):
      NN (RPNN) and BNN (baked) renders with the trained weights, and the
      same renders with freshly initialized weights (the random baseline);
   5. report RMS bias of each render vs PT (utils.compare.rms_bias) into a
-     JSON artifact (EVAL_r03.json) + EXRs/diff images for inspection.
+     JSON artifact (EVAL_r04.json) + EXRs/diff images for inspection.
 
 Run on the real chip:
-    cd /root/repo && timeout 5400 python -u tools/eval_e2e.py --out EVAL_r03.json
+    cd /root/repo && timeout 5400 python -u tools/eval_e2e.py --out EVAL_r04.json
 
 The smoke-scale version runs in tests/test_eval_e2e.py on CPU.
 """

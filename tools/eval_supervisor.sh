@@ -12,7 +12,7 @@
 # (collector updates ~8 s, render ticks, trainer validations).
 set -u
 LOG=${1:-/tmp/eval_supervised.log}
-OUT=${2:-EVAL_r03.json}
+OUT=${2:-EVAL_r04.json}
 ROOT=${3:-runs/eval_e2e}
 STALE=${STALE:-900}
 cd "$(dirname "$0")/.."
