@@ -167,11 +167,13 @@ def _measure(res: int, report_stats: bool, brick: int = 0) -> dict:
         )
         return acc
 
-    raw_gather(rows_tab, idx0).block_until_ready()
+    # Time by value fetch: block_until_ready can return before remote
+    # execution finishes through the tunneled backend; a scalar fetch is
+    # data-dependent and honest (see tools/perf_probe.timeit).
+    float(raw_gather(rows_tab, idx0).sum())
     t0 = time.time()
     for _ in range(3):
-        r = raw_gather(rows_tab, idx0)
-    r.block_until_ready()
+        float(raw_gather(rows_tab, idx0).sum())
     dt = (time.time() - t0) / 3
     ceiling_rows_s = idx0.shape[0] * iters_ceil / dt
 
@@ -237,11 +239,19 @@ def _measure_neural(res: int = 256, width: int = 512, height: int = 256) -> dict
     return out
 
 
-#: 256^3 operating brick (cells per axis served by one fused-row gather):
-#: 0 = 16 B cell rows.  Set from the measured --brick-sweep (brick rows
-#: cut the dominant per-row fetch count by ~brick x and shrink the 256^3
-#: table from 268 MB to 65 MB at B=4); override with --brick N.
-_DEFAULT_BRICK_256 = 0
+#: 256^3 operating brick (cells per axis served by one fused-row gather).
+#: Measured --brick-sweep (committed alongside BENCH_r04): brick 3 wins —
+#: 0.286 vs 0.147 Mrays/s at brick 0 (its 128 B aligned rows gather FASTER
+#: from the 107 MB table than 16 B cell rows from 268 MB: 106.9 vs 79.6
+#: Mrows/s ceiling — and each serves 3x the march distance); brick 2
+#: regresses (54 B unaligned rows: 34.7 Mrows/s ceiling), brick 4 = 0.218,
+#: brick 6 = 0.150 (arithmetic-bound: (B+1)^3-lattice trilinear).
+#: Override with --brick N.
+_DEFAULT_BRICK_256 = 3
+
+#: 64^3 operating brick: 4 (GRID64_BISECT.json: 0.454 vs 0.379 Mrays/s —
+#: the 16^3 x 250 B brick table is 1 MB, VMEM/cache-resident).
+_DEFAULT_BRICK_64 = 4
 
 
 def main() -> None:
@@ -260,7 +270,7 @@ def main() -> None:
             print(json.dumps({"brick": b, **r}), flush=True)
         return
 
-    r64 = _measure(64, report_stats=False)
+    r64 = _measure(64, report_stats=False, brick=_DEFAULT_BRICK_64)
     r256 = _measure(256, report_stats=True, brick=brick)
     neural = _measure_neural(256)
 

@@ -111,10 +111,17 @@ class CloudRendering:
     #: 8-corner cell rows).  A brick row stores the (B+1)^3 corner lattice
     #: of density AND in-scatter (e.g. B=3, uint8: 128-byte rows), so one
     #: gather covers B x more march distance; trilinear becomes a 3-step
-    #: tensor contraction on the VPU (ops.grid.trilinear_from_brick).  The
-    #: lever for HBM-resident (>=256^3) grids, where the per-row fetch
-    #: dominates the march; also ~2.4x less memory per cell than cell rows.
-    march_brick: int = 0
+    #: tensor contraction on the VPU (ops.grid.trilinear_from_brick).
+    #: -1 = AUTO (the default): for uint8 march rows build_scene picks
+    #: the measured-best brick per grid size (BENCH_r04 --brick-sweep +
+    #: GRID64_BISECT.json: 4 below 192^3 — the brick table is VMEM/cache-
+    #: resident — else 3, whose 128 B aligned rows gather FASTER than 16 B
+    #: cell rows from an HBM-resident table AND serve 3x the march
+    #: distance; ~2x end-to-end at 256^3).  float32 scenes resolve to cell
+    #: rows (no measured f32 brick win, PERF_r04.json).  Estimator output
+    #: is bit-identical to cell rows (ops.grid.brick_cell).  The
+    #: spatially-sharded renderer requires cell rows (march_brick=0).
+    march_brick: int = -1
 
 
 @dataclasses.dataclass(frozen=True)

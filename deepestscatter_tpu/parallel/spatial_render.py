@@ -82,6 +82,12 @@ def shard_scene(
     by default ``params.march_rows`` is used.
     """
     rows = march_rows if march_rows is not None else params.march_rows
+    if rows.ndim < 4:
+        raise ValueError(
+            "spatial sharding requires CELL march rows [Z, Y, X, 16] — "
+            "build the scene with march_brick=0 (brick rows have no z-slab "
+            "layout to decompose)"
+        )
     slabs = HaloSlabGrid(mesh, axis=axis, halo=halo).scatter(rows)
     rep = NamedSharding(mesh, P())
     put = lambda x: jax.device_put(x, rep)

@@ -89,7 +89,10 @@ def bake_probes(
     )
 
     @jax.jit
-    def bake_chunk(pos):
+    def bake_chunk(params, variables, pos):
+        # params/variables enter as ARGUMENTS: a closed-over 256^3 mip
+        # pyramid would embed hundreds of MB of HLO constants (HTTP 413
+        # through the tunneled backend).
         layers = desc_ops.gather_descriptor(
             params,
             static,
@@ -111,9 +114,9 @@ def bake_probes(
         if pos.shape[0] < chunk:  # pad the tail to keep one compiled shape
             pad = chunk - pos.shape[0]
             pos = jnp.concatenate([pos, jnp.zeros((pad, 3), jnp.float32)])
-            outs.append(bake_chunk(pos)[: chunk - pad])
+            outs.append(bake_chunk(params, variables, pos)[: chunk - pad])
         else:
-            outs.append(bake_chunk(pos))
+            outs.append(bake_chunk(params, variables, pos))
     probes = jnp.concatenate(outs, axis=0)
     px, py, pz = lattice
     return probes.reshape(pz, py, px, PROBE_LENGTH)

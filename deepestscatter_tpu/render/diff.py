@@ -333,6 +333,7 @@ def diff_scene(cfg: SceneConfig, scene: DiffScene, max_depth: int = 4):
         max_depth=max_depth,
         march_deferred=False,
         occupancy_skipping=False,
+        march_brick=0,  # diff params carry hand-built cell rows
     )
     cfg = _dc.replace(cfg, rendering=rendering)
     _, static0 = scene_mod.build_scene(cfg, np.zeros((2, 2, 2), np.float32))

@@ -163,6 +163,21 @@ def build_scene(
     (ScatterSampleCollector.h:32).
     """
     density = grid_ops.normalize_density(density)
+    nz0, ny0, nx0 = density.shape
+    brick = cfg.rendering.march_brick
+    if brick < 0:
+        # AUTO: measured-best brick per grid size (BENCH_r04 --brick-sweep
+        # + GRID64_BISECT.json): small grids take brick 4 (the brick table
+        # is cache/VMEM-resident), HBM-resident grids take brick 3 (128 B
+        # aligned rows gather faster than 16 B cell rows AND amortize 3x
+        # the march distance).  uint8 rows only: every measured brick win
+        # is on the uint8 tables (PERF_r04.json: float32 16 B rows already
+        # gather at their width-class plateau, and f32 brick widths show
+        # no gain), so float32 scenes keep cell rows.
+        brick = 0
+        if cfg.rendering.march_dtype == "uint8":
+            brick = 4 if max(nz0, ny0, nx0) < 192 else 3
+
     # MipmapsMode.OFF keeps only the base level (SceneDescription.h
     # Cloud::Model::mipmapsOn; descriptor LODs then clamp to level 0).
     mips = grid_ops.build_mipmaps(density)
@@ -222,7 +237,7 @@ def build_scene(
                 max(
                     1,
                     round(
-                        max(1, cfg.rendering.march_brick)
+                        max(1, brick)
                         / (max_dim * cfg.rendering.sample_step)
                     ),
                 ),
@@ -232,7 +247,7 @@ def build_scene(
         # unsatisfiable (the == alive trigger in the loop is the backstop).
         march_resolve_frac=min(cfg.rendering.march_resolve_frac, 1.0),
         march_check_every=cfg.rendering.march_check_every,
-        march_brick=cfg.rendering.march_brick,
+        march_brick=brick,
         sample_sky=cfg.rendering.sample_sky,
     )
 
@@ -251,7 +266,7 @@ def build_scene(
             jnp.asarray(mips[0], jnp.float32),
             jnp.asarray(inscatter, jnp.float32),
             cfg.rendering.march_dtype,
-            cfg.rendering.march_brick,
+            brick,
         ),
         occupancy=jnp.asarray(
             grid_ops.build_occupancy(density, occ_block), dtype

@@ -38,7 +38,8 @@ def _scene(mode=RenderMode.SUN_AND_SKY_ALL_SCATTER, res=24):
         cloud=CloudModel(size_m=1500.0),
         camera=CameraConfig(width=W, height=H),
         rendering=CloudRendering(
-            sample_step=1.0 / 128.0, max_depth=40, mode=mode
+            sample_step=1.0 / 128.0, max_depth=40, mode=mode,
+            march_brick=0,  # spatial decomposition requires cell rows
         ),
     )
     density = procedural.cumulus(resolution=res, seed=5)

@@ -32,52 +32,47 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512  # lanes per grid program
+TILE = 1024  # lanes per grid program (= the XLA T(1024) s32 layout)
 NBUF = 8  # DMA pipeline depth
 
 
 def _per_lane_kernel(idx_ref, rows_ref, out_ref, *, width):
     """TILE sequential row DMAs, NBUF in flight (the march's access
-    pattern: one small row per lane, random address)."""
+    pattern: one small row per lane, random address).
 
-    def body(scratch, sems):
-        def get_dma(slot, j):
+    Mosaic shapes every constraint here: HBM uint8 buffers tile at
+    1024 B (smaller per-DMA slices are rejected outright), VMEM refs
+    reject sub-tile slicing — so each pipeline slot owns its own whole
+    1-D scratch buffer and the lane loop is fully unrolled (TILE is
+    static), leaving no dynamic slicing anywhere."""
+    pid = pl.program_id(0)
+
+    def body(*args):
+        bufs, sems = args[:-1], args[-1]
+
+        def get_dma(k, j):
+            off = pl.multiple_of(idx_ref[j] * width, 1024)
             return pltpu.make_async_copy(
-                rows_ref.at[idx_ref[j]],
-                scratch.at[slot],
-                sems.at[slot],
+                rows_ref.at[pl.ds(off, width)], bufs[k], sems.at[k]
             )
 
         for k in range(NBUF):
             get_dma(k, k).start()
-
-        def loop(j, acc):
-            slot = jax.lax.rem(j, NBUF)
-            pltpu.make_async_copy(
-                rows_ref.at[idx_ref[j]], scratch.at[slot], sems.at[slot]
-            ).wait()
-            v = jnp.sum(scratch[slot].astype(jnp.float32))
-
-            @pl.when(j + NBUF < TILE)
-            def _():
-                def start(s):
-                    pltpu.make_async_copy(
-                        rows_ref.at[idx_ref[j + NBUF]],
-                        scratch.at[s],
-                        sems.at[s],
-                    ).start()
-
-                start(slot)
-
-            return acc + v
-
-        acc = jax.lax.fori_loop(0, TILE, loop, jnp.float32(0.0))
-        out_ref[0, 0] = acc
+        acc = jnp.float32(0.0)
+        for j in range(TILE):
+            k = j % NBUF
+            get_dma(k, j).wait()
+            acc = acc + jnp.sum(
+                bufs[k][...].astype(jnp.int32).astype(jnp.float32)
+            )
+            if j + NBUF < TILE:
+                get_dma(k, j + NBUF).start()
+        out_ref[pid, 0] = acc
 
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((NBUF, width), jnp.uint8),
-        sems=pltpu.SemaphoreType.DMA((NBUF,)),
+        *[pltpu.VMEM((width,), jnp.uint8) for _ in range(NBUF)],
+        pltpu.SemaphoreType.DMA((NBUF,)),
     )
 
 
@@ -85,44 +80,35 @@ def _coalesced_kernel(idx_ref, rows_ref, out_ref, *, width, run):
     """TILE rows fetched as TILE//run block DMAs of ``run`` contiguous
     rows each — the upper bound after a perfect binning pass."""
     nblocks = TILE // run
+    pid = pl.program_id(0)
 
-    def body(scratch, sems):
-        def get_dma(slot, b):
+    def body(*args):
+        bufs, sems = args[:-1], args[-1]
+
+        def get_dma(k, b):
+            off = pl.multiple_of(idx_ref[b] * width, 1024)
             return pltpu.make_async_copy(
-                rows_ref.at[pl.ds(idx_ref[b], run)],
-                scratch.at[slot],
-                sems.at[slot],
+                rows_ref.at[pl.ds(off, run * width)], bufs[k], sems.at[k]
             )
 
-        for k in range(min(NBUF, nblocks)):
+        depth = min(NBUF, nblocks)
+        for k in range(depth):
             get_dma(k, k).start()
-
-        def loop(b, acc):
-            slot = jax.lax.rem(b, NBUF)
-            pltpu.make_async_copy(
-                rows_ref.at[pl.ds(idx_ref[b], run)],
-                scratch.at[slot],
-                sems.at[slot],
-            ).wait()
-            v = jnp.sum(scratch[slot].astype(jnp.float32))
-
-            @pl.when(b + NBUF < nblocks)
-            def _():
-                pltpu.make_async_copy(
-                    rows_ref.at[pl.ds(idx_ref[b + NBUF], run)],
-                    scratch.at[slot],
-                    sems.at[slot],
-                ).start()
-
-            return acc + v
-
-        acc = jax.lax.fori_loop(0, nblocks, loop, jnp.float32(0.0))
-        out_ref[0, 0] = acc
+        acc = jnp.float32(0.0)
+        for b in range(nblocks):
+            k = b % depth
+            get_dma(k, b).wait()
+            acc = acc + jnp.sum(
+                bufs[k][...].astype(jnp.int32).astype(jnp.float32)
+            )
+            if b + depth < nblocks:
+                get_dma(k, b + depth).start()
+        out_ref[pid, 0] = acc
 
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((NBUF, run, width), jnp.uint8),
-        sems=pltpu.SemaphoreType.DMA((NBUF,)),
+        *[pltpu.VMEM((run * width,), jnp.uint8) for _ in range(min(NBUF, nblocks))],
+        pltpu.SemaphoreType.DMA((NBUF,)),
     )
 
 
@@ -130,10 +116,12 @@ def build(kind, nrows, width, batch, run=32, interpret=False):
     ntiles = batch // TILE
     if kind == "per_lane":
         kernel = functools.partial(_per_lane_kernel, width=width)
-        idx_block = (TILE,)
     else:
         kernel = functools.partial(_coalesced_kernel, width=width, run=run)
-        idx_block = (TILE // run,)
+    # One 1024-entry s32 block per program — the SMEM block shape must
+    # equal XLA's T(1024) tiled layout; the coalesced kernel reads only
+    # its first TILE//run entries (the rest is padding).
+    idx_block = (1024,)
 
     grid_spec = pl.GridSpec(
         grid=(ntiles,),
@@ -143,9 +131,10 @@ def build(kind, nrows, width, batch, run=32, interpret=False):
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM
-        ),
+        # Whole-array SMEM output: per-(1,1) blocks fail the Mosaic
+        # (8,128) block-tiling check; with the full array visible each
+        # program writes its own row (the TPU grid runs sequentially).
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
     )
     call = pl.pallas_call(
         kernel,
@@ -157,25 +146,36 @@ def build(kind, nrows, width, batch, run=32, interpret=False):
 
 
 def measure(kind, nrows, width, batch, run=32, interpret=False, reps=3):
+    assert width % 1024 == 0, "1-D uint8 DMA slices must be 1024-aligned"
     fn = build(kind, nrows, width, batch, run=run, interpret=interpret)
     rows = jax.jit(
         lambda: jax.random.randint(
-            jax.random.PRNGKey(0), (nrows, width), 0, 255, dtype=jnp.uint8
+            jax.random.PRNGKey(0), (nrows * width,), 0, 255, dtype=jnp.uint8
         )
     )()
     rng = np.random.default_rng(0)
+    ntiles = batch // TILE
     if kind == "per_lane":
         idx = rng.integers(0, nrows, batch).astype(np.int32)
+        idx_used = idx
     else:
-        nblocks = batch // run
-        idx = rng.integers(0, max(1, nrows - run), nblocks).astype(np.int32)
+        per = TILE // run
+        used = rng.integers(
+            0, max(1, nrows - run), (ntiles, per)
+        ).astype(np.int32)
+        idx = np.zeros((ntiles, 1024), np.int32)
+        idx[:, :per] = used
+        idx_used = used.reshape(-1)
+        idx = idx.reshape(-1)
     idx = jnp.asarray(idx)
     out = fn(idx, rows)
     out.block_until_ready()
     # Correctness cross-check vs XLA take (per tile sums).
+    rows2d = rows.reshape(nrows, width)
+    iu = jnp.asarray(idx_used)
     if kind == "per_lane":
         want = (
-            jnp.take(rows, idx, axis=0)
+            jnp.take(rows2d, iu, axis=0)
             .astype(jnp.float32)
             .sum(-1)
             .reshape(-1, TILE)
@@ -183,8 +183,8 @@ def measure(kind, nrows, width, batch, run=32, interpret=False, reps=3):
         )
     else:
         gathered = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(rows, (s, 0), (run, width))
-        )(idx)
+            lambda s: jax.lax.dynamic_slice(rows2d, (s, 0), (run, width))
+        )(iu)
         want = (
             gathered.astype(jnp.float32)
             .sum((-1, -2))
@@ -192,12 +192,19 @@ def measure(kind, nrows, width, batch, run=32, interpret=False, reps=3):
             .sum(-1)
         )
     np.testing.assert_allclose(
-        np.asarray(out)[:, 0], np.asarray(want), rtol=1e-6
+        np.asarray(out)[:, 0], np.asarray(want), rtol=1e-5,
     )
+    # Fetch-based timing with distinct index sets per rep: through the
+    # tunneled backend block_until_ready can return before execution
+    # finishes, and identical dispatches may be replay-cached (see
+    # tools/perf_probe.timeit).
+    salts = [
+        jnp.asarray(np.roll(np.asarray(idx), k + 1)) for k in range(reps)
+    ]
+    float(fn(salts[0], rows).sum())
     t0 = time.time()
-    for _ in range(reps):
-        r = fn(idx, rows)
-    r.block_until_ready()
+    for k in range(reps):
+        float(fn(salts[k], rows).sum())
     dt = (time.time() - t0) / reps
     return batch / dt
 
@@ -210,13 +217,20 @@ def main():
     report = {"tile": TILE, "nbuf": NBUF}
     print("devices:", jax.devices())
     if interpret:
-        cases = [(4096, 16, 4096), (4096, 256, 4096)]
+        cases = [(4096, 1024, 4096)]
         runs = (8,)
     else:
-        # Match the march operating points: 268 MB cell table (16 B) and
-        # the 65 MB brick-4 table (rounded to 256 B rows for alignment).
-        cases = [(1 << 24, 16, 1 << 18), (1 << 18, 256, 1 << 18)]
-        runs = (8, 32, 128)
+        # 1024 B is the SMALLEST per-DMA slice Mosaic accepts from an HBM
+        # uint8 buffer (1-D memref tiling is (1024); 2-D tiled memrefs
+        # reject any single-row slice: "aligned to tiling (8)").  The
+        # march's 16-256 B rows are therefore INEXPRESSIBLE as per-lane
+        # Pallas DMAs — the kernel would fetch the containing 1024 B block
+        # (64x waste for 16 B cell rows, 8x for 128 B brick-3 rows).  This
+        # probe measures that hardware-minimum pattern: 1024 B random
+        # blocks (= 8 adjacent brick-3 rows) from a 128 MB and a 1 GB
+        # table, plus coalesced runs.
+        cases = [(1 << 17, 1024, 1 << 18), (1 << 20, 1024, 1 << 18)]
+        runs = (8, 32)
     results = []
     for nrows, width, batch in cases:
         r = measure("per_lane", nrows, width, batch, interpret=interpret)

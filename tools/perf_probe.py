@@ -21,11 +21,18 @@ ITERS = 100
 
 
 def timeit(fn, *args, n=3):
-    fn(*args).block_until_ready()
+    """Time by VALUE FETCH, not block_until_ready: through the axon tunnel
+    block_until_ready can return in ~dispatch time while the execution is
+    still running remotely (measured: a 1 s gather scan "ready" in 0.2 ms,
+    with the missing second then appearing on the first .sum() fetch —
+    results verified correct against CPU).  Fetching a scalar reduction is
+    data-dependent on the full computation and cannot be faked; its ~ms
+    round-trip is negligible against >=0.1 s workloads.  Each call gets a
+    distinct salt so no replay/dedup layer can serve a cached result."""
+    float(fn(*args, jnp.uint32(0)).sum())  # warmup: compile + run
     t0 = time.time()
-    for _ in range(n):
-        r = fn(*args)
-    r.block_until_ready()
+    for k in range(n):
+        float(fn(*args, jnp.uint32(k + 1)).sum())
     return (time.time() - t0) / n
 
 
@@ -45,7 +52,15 @@ def gather_bench(ncells, label, row_bytes=16, dtype="uint8", sorted_idx=False):
     idx0 = jnp.asarray(idx_host, jnp.uint32)
 
     @jax.jit
-    def run(rows, idx):
+    def run(rows, idx, salt):
+        # ``salt`` rotates the index stream per call so every timed
+        # dispatch is a genuinely distinct computation — identical repeat
+        # executions can otherwise be coalesced/cached by the tunneled
+        # backend (timeit docstring).  Statistically identical workload.
+        if sorted_idx:
+            idx = jnp.minimum(idx + salt, jnp.uint32(ncells - 1))
+        else:
+            idx = (idx + salt) % jnp.uint32(ncells)
         def body(c, _):
             idx, acc = c
             r = jnp.take(rows, idx.astype(jnp.int32), axis=0, mode="clip")
