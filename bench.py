@@ -141,7 +141,9 @@ def _measure(res: int, report_stats: bool, brick: int = 0) -> dict:
     # scan of back-to-back jnp.take calls with index churn (nothing but the
     # gather).  Row width follows the operating point: 16 B cell rows, or
     # 2*(brick+1)^3 B brick rows.
-    row_width = 2 * ((brick + 1) ** 3 if brick else 8)
+    from deepestscatter_tpu.scene import march_row_width
+
+    row_width = march_row_width(brick)
     rows_tab = params.march_rows.reshape(-1, row_width)
     idx0 = jnp.asarray(
         np.random.default_rng(0).integers(0, rows_tab.shape[0], width * height),

@@ -124,7 +124,9 @@ def next_scattering_event(
 
     brick = static.march_brick
     half = (brick + 1) ** 3 if brick else 8
-    rows_grid = params.march_rows.reshape(-1, 2 * half)
+    rows_grid = params.march_rows.reshape(
+        -1, scene_mod.march_row_width(brick)
+    )
     rows_scale = jnp.float32(scene_mod.march_rows_scale(params.march_rows))
     nz, ny, nx = static.grid_shape
     dims_f = jnp.asarray([nx, ny, nz], f32)

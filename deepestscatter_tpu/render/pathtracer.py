@@ -149,7 +149,9 @@ def _scatter_loop_deferred(
 
     brick = static.march_brick
     half = (brick + 1) ** 3 if brick else 8
-    rows_grid = params.march_rows.reshape(-1, 2 * half)
+    rows_grid = params.march_rows.reshape(
+        -1, scene_mod.march_row_width(brick)
+    )
     rows_scale = jnp.float32(scene_mod.march_rows_scale(params.march_rows))
     nz, ny, nx = static.grid_shape
     dims_f = jnp.asarray([nx, ny, nz], f32)
@@ -292,7 +294,9 @@ def _scatter_loop_deferred(
         rows = jnp.take(
             rows_grid, jnp.where(pend, ridx, 0), axis=0, mode="clip"
         ).astype(f32)
-        trans_sun = sample_rows(rows[:, half:] * rows_scale, frac, local)
+        trans_sun = sample_rows(
+            rows[:, half:2 * half] * rows_scale, frac, local
+        )
         factor = weight * p * static.sun_solid_angle_ratio
         radiance = radiance + jnp.where(
             pend[:, None],

@@ -117,6 +117,21 @@ class SceneStatic:
         )
 
 
+def march_row_width(brick: int) -> int:
+    """Stored march-row width in elements: the 2*(brick+1)^3 corner pair,
+    padded up to the next power of two for brick rows.  Row ALIGNMENT
+    governs the gather rate more than width (PERF_r04.json: 54 B unaligned
+    rows gather at 34.7 Mrows/s from HBM-resident tables, 128 B aligned at
+    106.9; 16 B cell rows are already aligned)."""
+    if not brick:
+        return 16
+    w = 2 * (brick + 1) ** 3
+    p = 1
+    while p < w:
+        p *= 2
+    return p
+
+
 def make_march_rows(
     density: jnp.ndarray,
     inscatter: jnp.ndarray,
@@ -134,6 +149,12 @@ def make_march_rows(
     inScatter.cu:65); samplers dequantize by 1/255."""
     if brick >= 2:
         rows = grid_ops.pack_bricks(density, inscatter, brick)
+        pad = march_row_width(brick) - rows.shape[-1]
+        if pad:
+            rows = jnp.concatenate(
+                [rows, jnp.zeros((*rows.shape[:-1], pad), rows.dtype)],
+                axis=-1,
+            )
     else:
         rows = grid_ops.pack_corner_pair(density, inscatter)
     if march_dtype == "uint8":
