@@ -29,6 +29,7 @@ from .config import (
     LIGHT_DIRECTIONS,
     BatchSettings,
     CloudModel,
+    CloudRendering,
     DirectionalLight,
     PointRadianceConfig,
     SceneConfig,
@@ -48,6 +49,16 @@ class CollectMode(enum.Enum):
     CONTINUE = "continue"  # resume from count // BATCH_SIZE (Tasks.h:59-68)
 
 
+def _production_base() -> SceneConfig:
+    """Default scene config for datagen/render tasks: uint8 march rows —
+    the reference's own texture storage for both density and the baked
+    sun transmittance (Resources.cpp:93-96, inScatter.cu:65) — which also
+    unlocks the AUTO brick layout (scene.build_scene), the measured
+    1.2-2x march multiplier (BRICK_SWEEP_r04.jsonl, GRID64_BISECT.json).
+    Mip pyramids (descriptor inputs) stay float32."""
+    return SceneConfig(rendering=CloudRendering(march_dtype="uint8"))
+
+
 def scene_from_setup(
     setup: np.void,
     base: Optional[SceneConfig] = None,
@@ -55,7 +66,7 @@ def scene_from_setup(
 ):
     """SceneSetup record → (params, static) — the installSceneSetup analog
     (installers.cpp:76-105: sampleStep 1/512, intensity 1e6, mipmaps on)."""
-    base = base or SceneConfig()
+    base = base or _production_base()
     cloud_path = bytes(setup["cloud_path"]).rstrip(b"\x00").decode()
     density = clouds_mod.prepare(clouds_mod.load_density(cloud_path))
     light = tuple(float(x) for x in setup["light_direction"])
@@ -282,7 +293,7 @@ def render_cloud(
     Passing a prebuilt ``neural_renderer`` object with ``render_frame``
     overrides the model loading (used by tests).
     """
-    base = base or SceneConfig()
+    base = base or _production_base()
     density = clouds_mod.prepare(clouds_mod.load_density(cloud_path))
     os.makedirs(out_dir, exist_ok=True)
     cloud_name = os.path.splitext(os.path.basename(cloud_path))[0].replace(

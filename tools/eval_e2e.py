@@ -133,7 +133,13 @@ def run_eval(
         # dominates label generation in dense scenes.  The reference walks
         # every path to MAX_DEPTH 2000; gates stay the reference's CI gates.
         base_cfg = SceneConfig(
-            rendering=CloudRendering(rr_start_depth=64, rr_survival=0.98)
+            rendering=CloudRendering(
+                rr_start_depth=64,
+                rr_survival=0.98,
+                # uint8 march rows: the reference's texture storage and the
+                # AUTO-brick fast path (tasks._production_base rationale).
+                march_dtype="uint8",
+            )
         )
     base_cfg = dataclasses.replace(
         base_cfg, camera=CameraConfig(width=width, height=height)
