@@ -241,19 +241,16 @@ def _measure_neural(res: int = 256, width: int = 512, height: int = 256) -> dict
     return out
 
 
-#: 256^3 operating brick (cells per axis served by one fused-row gather).
-#: Measured --brick-sweep (committed alongside BENCH_r04): brick 3 wins —
-#: 0.286 vs 0.147 Mrays/s at brick 0 (its 128 B aligned rows gather FASTER
-#: from the 107 MB table than 16 B cell rows from 268 MB: 106.9 vs 79.6
-#: Mrows/s ceiling — and each serves 3x the march distance); brick 2
-#: regresses (54 B unaligned rows: 34.7 Mrows/s ceiling), brick 4 = 0.218,
-#: brick 6 = 0.150 (arithmetic-bound: (B+1)^3-lattice trilinear).
-#: Override with --brick N.
+#: Operating brick at both grid sizes: 3 — the measured best with split
+#: density/in-scatter tables (SPLIT_TABLES_r04.json: 256^3 0.423 Mrays/s
+#: vs 0.286 fused / 0.147 cell rows; 64^3 0.652 vs 0.454 at the old
+#: brick-4 point).  The brick sweep history: BRICK_SWEEP_r04.jsonl
+#: (fused rows), BRICK256_TUNE.json (padded widths + scheduling knobs —
+#: defaults optimal).  Override with --brick N.
 _DEFAULT_BRICK_256 = 3
 
-#: 64^3 operating brick: 4 (GRID64_BISECT.json: 0.454 vs 0.379 Mrays/s —
-#: the 16^3 x 250 B brick table is 1 MB, VMEM/cache-resident).
-_DEFAULT_BRICK_64 = 4
+#: 64^3 operating brick (see above; brick 4 = 0.479, brick 2 = 0.419).
+_DEFAULT_BRICK_64 = 3
 
 
 def main() -> None:

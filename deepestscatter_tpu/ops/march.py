@@ -127,6 +127,8 @@ def next_scattering_event(
     rows_grid = params.march_rows.reshape(
         -1, scene_mod.march_row_width(brick)
     )
+    # Density-only split table (pathtracer._scatter_loop_deferred notes).
+    dens_tab = rows_grid[:, :half]
     rows_scale = jnp.float32(scene_mod.march_rows_scale(params.march_rows))
     nz, ny, nx = static.grid_shape
     dims_f = jnp.asarray([nx, ny, nz], f32)
@@ -157,7 +159,7 @@ def next_scattering_event(
                 new_pos / params.bbox_size, static.grid_shape
             )
         dens_rows = (
-            jnp.take(rows_grid, ridx, axis=0, mode="clip")[:, :half].astype(f32)
+            jnp.take(dens_tab, ridx, axis=0, mode="clip").astype(f32)
             * rows_scale
         )
         if brick:

@@ -187,17 +187,16 @@ def build_scene(
     nz0, ny0, nx0 = density.shape
     brick = cfg.rendering.march_brick
     if brick < 0:
-        # AUTO: measured-best brick per grid size (BENCH_r04 --brick-sweep
-        # + GRID64_BISECT.json): small grids take brick 4 (the brick table
-        # is cache/VMEM-resident), HBM-resident grids take brick 3 (128 B
-        # aligned rows gather faster than 16 B cell rows AND amortize 3x
-        # the march distance).  uint8 rows only: every measured brick win
-        # is on the uint8 tables (PERF_r04.json: float32 16 B rows already
-        # gather at their width-class plateau, and f32 brick widths show
-        # no gain), so float32 scenes keep cell rows.
-        brick = 0
-        if cfg.rendering.march_dtype == "uint8":
-            brick = 4 if max(nz0, ny0, nx0) < 192 else 3
+        # AUTO: brick 3 for uint8 scenes — the measured best at BOTH the
+        # cache-resident and HBM-resident operating points with the split
+        # density/in-scatter tables (SPLIT_TABLES_r04.json: 0.652 Mrays/s
+        # at 64^3 vs 0.479 for brick 4; 0.423 at 256^3 vs 0.223): its
+        # 64 B density half is aligned and amortizes 3 cells/axis per
+        # fetch while the (B+1)^3 trilinear stays cheap.  uint8 rows
+        # only: every measured brick win is on the uint8 tables
+        # (PERF_r04.json: float32 16 B rows already gather at their
+        # width-class plateau), so float32 scenes keep cell rows.
+        brick = 3 if cfg.rendering.march_dtype == "uint8" else 0
 
     # MipmapsMode.OFF keeps only the base level (SceneDescription.h
     # Cloud::Model::mipmapsOn; descriptor LODs then clamp to level 0).
