@@ -148,10 +148,15 @@ def trilinear_from_rows(rows: jnp.ndarray, frac: jnp.ndarray) -> jnp.ndarray:
 
 def _packed_trilinear(packed: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """Trilinear sample from a ``pack_corners`` grid: one row gather + an
-    8-weight dot.  Semantics identical to the classic 8-gather path."""
+    8-weight dot.  Semantics identical to the classic 8-gather path.
+
+    uint8 grids are the reference's texture storage (x255, Resources.cpp:
+    93-96) and dequantize here — callers always see [0, 1] values."""
     nz, ny, nx, _ = packed.shape
     _, frac, idx = packed_cell(u, (nz, ny, nx))
     rows = jnp.take(packed.reshape(-1, 8), idx, axis=0, mode="clip")
+    if packed.dtype == jnp.uint8:
+        rows = rows.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     return trilinear_from_rows(rows, frac)
 
 
@@ -160,7 +165,10 @@ def _gather3d(grid: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray, zi: jnp.ndarr
     nz, ny, nx = grid.shape
     flat = grid.reshape(-1)
     idx = (zi * ny + yi) * nx + xi
-    return jnp.take(flat, idx, mode="clip")
+    out = jnp.take(flat, idx, mode="clip")
+    if grid.dtype == jnp.uint8:
+        out = out.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    return out
 
 
 def sample_trilinear(grid: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:

@@ -149,10 +149,20 @@ def with_baked_inscatter(
     march_dtype = (
         "uint8" if params.march_rows.dtype == jnp.uint8 else "float32"
     )
-    # density_mips[0][..., 0] is corner (z, y, x) itself — the raw grid.
+    # density_mips[0][..., 0] is corner (z, y, x) itself — the raw grid
+    # (dequantized when textures store uint8, scene.build_scene).
     raw_density = params.density_mips[0][..., 0].astype(jnp.float32)
+    if params.density_mips[0].dtype == jnp.uint8:
+        raw_density = raw_density * jnp.float32(1.0 / 255.0)
+    inscatter_packed = grid_ops.pack_corners(baked)
+    if params.inscatter.dtype == jnp.uint8:
+        # Keep the uint8 texture convention (values are exact multiples
+        # of 1/255 after the quantize step above).
+        inscatter_packed = jnp.round(inscatter_packed * 255.0).astype(
+            jnp.uint8
+        )
     return params._replace(
-        inscatter=grid_ops.pack_corners(baked),
+        inscatter=inscatter_packed,
         march_rows=make_march_rows(
             raw_density, baked, march_dtype, static.march_brick
         ),

@@ -276,12 +276,23 @@ def build_scene(
 
     # Grids ship in the packed-corner layout: trilinear sampling costs ONE
     # row gather instead of 8 scalar gathers (ops.grid.pack_corners — the
-    # TPU-native replacement for the hardware 3D texture unit).
+    # TPU-native replacement for the hardware 3D texture unit).  With
+    # march_dtype="uint8" the textures themselves quantize x255 — the
+    # reference's own storage for density AND in-scatter (Resources.cpp:
+    # 93-96, inScatter.cu:65); samplers dequantize (ops.grid).  This
+    # shrinks the descriptor featurizer's mip tables 4x (the NN/BNN
+    # renderers' dominant gather traffic).
+    tex_u8 = cfg.rendering.march_dtype == "uint8"
+
+    def tex(m):
+        packed = grid_ops.pack_corners(jnp.asarray(m, jnp.float32))
+        if tex_u8:
+            return jnp.round(packed * 255.0).astype(jnp.uint8)
+        return packed.astype(dtype)
+
     params = SceneParams(
-        density_mips=tuple(
-            grid_ops.pack_corners(jnp.asarray(m, dtype)) for m in mips
-        ),
-        inscatter=grid_ops.pack_corners(jnp.asarray(inscatter, dtype)),
+        density_mips=tuple(tex(m) for m in mips),
+        inscatter=tex(inscatter),
         march_rows=make_march_rows(
             jnp.asarray(mips[0], jnp.float32),
             jnp.asarray(inscatter, jnp.float32),
