@@ -137,14 +137,14 @@ def _measure(res: int, report_stats: bool, brick: int = 0) -> dict:
         rows_per_tick += float(((d_iters + d_nres) * bufs).sum())
     achieved_rows_s = rows_per_tick * n_ticks / elapsed
 
-    # Raw gather ceiling at the SAME table size, row width, and dtype: a
-    # scan of back-to-back jnp.take calls with index churn (nothing but the
-    # gather).  Row width follows the operating point: 16 B cell rows, or
-    # 2*(brick+1)^3 B brick rows.
+    # Raw gather ceiling at the SAME table size, row width, and dtype as
+    # the HOT march gather — the density half of the split tables
+    # ((brick+1)^3 B rows; 8 B cell rows): a scan of back-to-back
+    # jnp.take calls with index churn (nothing but the gather).
     from deepestscatter_tpu.scene import march_row_width
 
-    row_width = march_row_width(brick)
-    rows_tab = params.march_rows.reshape(-1, row_width)
+    half = (brick + 1) ** 3 if brick else 8
+    rows_tab = params.march_rows.reshape(-1, march_row_width(brick))[:, :half]
     idx0 = jnp.asarray(
         np.random.default_rng(0).integers(0, rows_tab.shape[0], width * height),
         jnp.uint32,
@@ -157,6 +157,8 @@ def _measure(res: int, report_stats: bool, brick: int = 0) -> dict:
             idx, acc = c
             r = jnp.take(rows_tab, idx.astype(jnp.int32), axis=0, mode="clip")
             acc = acc + r[:, :8].astype(jnp.float32).sum(-1)
+            # (read width min(8, half) — the sum is there only to keep
+            # the gather live; cost is the fetch)
             # LCG churn in uint32 (int32 would wrap negative and clip-clamp
             # every lane to row 0, making the "random gather" cache-resident).
             idx = (
