@@ -112,15 +112,14 @@ class CloudRendering:
     #: of density AND in-scatter (e.g. B=3, uint8: 128-byte rows), so one
     #: gather covers B x more march distance; trilinear becomes a 3-step
     #: tensor contraction on the VPU (ops.grid.trilinear_from_brick).
-    #: -1 = AUTO (the default): for uint8 march rows build_scene picks
-    #: the measured-best brick per grid size (BENCH_r04 --brick-sweep +
-    #: GRID64_BISECT.json: 4 below 192^3 — the brick table is VMEM/cache-
-    #: resident — else 3, whose 128 B aligned rows gather FASTER than 16 B
-    #: cell rows from an HBM-resident table AND serve 3x the march
-    #: distance; ~2x end-to-end at 256^3).  float32 scenes resolve to cell
-    #: rows (no measured f32 brick win, PERF_r04.json).  Estimator output
-    #: is bit-identical to cell rows (ops.grid.brick_cell).  The
-    #: spatially-sharded renderer requires cell rows (march_brick=0).
+    #: -1 = AUTO (the default): uint8 scenes resolve to brick 3 at EVERY
+    #: grid size — the measured best with split density/in-scatter tables
+    #: (SPLIT_TABLES_r04.json: 0.652 at 64^3 vs 0.479 for brick 4; 0.423
+    #: at 256^3 vs 0.223): 128 B aligned rows gather FASTER than 16 B cell
+    #: rows from an HBM-resident table AND serve 3x the march distance
+    #: (~2x end-to-end at 256^3).  float32 scenes resolve to cell rows (no
+    #: measured f32 brick win, PERF_r04.json).  Estimator output is
+    #: bit-identical to cell rows (ops.grid.brick_cell).
     march_brick: int = -1
 
 

@@ -69,7 +69,12 @@ class BloscError(ValueError):
 
 def lz4_decompress(src: bytes, dst_size: int) -> bytes:
     """Decode one LZ4 block: sequences of (token, literals, offset, match);
-    the final sequence carries literals only."""
+    the final sequence carries literals only.
+
+    Corrupt/truncated input must fail with ``BloscError`` (the reader's
+    error contract), never a raw ``IndexError`` from a byte read past the
+    end — hence the explicit bounds checks on every length-extension and
+    offset read."""
     dst = bytearray()
     i, n = 0, len(src)
     while i < n:
@@ -78,6 +83,8 @@ def lz4_decompress(src: bytes, dst_size: int) -> bytes:
         lit = token >> 4
         if lit == 15:
             while True:
+                if i >= n:
+                    raise BloscError("lz4: truncated literal-length bytes")
                 b = src[i]
                 i += 1
                 lit += b
@@ -90,6 +97,8 @@ def lz4_decompress(src: bytes, dst_size: int) -> bytes:
             i += lit
         if i >= n:
             break  # last sequence: literals only
+        if i + 2 > n:
+            raise BloscError("lz4: truncated match offset")
         off = src[i] | (src[i + 1] << 8)
         i += 2
         if off == 0:
@@ -97,6 +106,8 @@ def lz4_decompress(src: bytes, dst_size: int) -> bytes:
         mlen = (token & 0xF) + 4
         if (token & 0xF) == 15:
             while True:
+                if i >= n:
+                    raise BloscError("lz4: truncated match-length bytes")
                 b = src[i]
                 i += 1
                 mlen += b
@@ -260,6 +271,11 @@ def decompress(frame: bytes) -> bytes:
     if blocksize == 0:
         raise BloscError("zero blocksize in a non-memcpy frame")
     nblocks = -(-nbytes // blocksize)
+    if HEADER_SIZE + 4 * nblocks > len(frame):
+        raise BloscError(
+            f"frame truncated: {nblocks} block starts do not fit in "
+            f"{len(frame)} bytes"
+        )
     bstarts = struct.unpack_from(f"<{nblocks}I", frame, HEADER_SIZE)
     out = bytearray()
     for bi in range(nblocks):
@@ -276,13 +292,20 @@ def decompress(frame: bytes) -> bytes:
         pos = bstarts[bi]
         block = bytearray()
         for _ in range(nstreams):
+            if pos + 4 > len(frame):
+                raise BloscError(
+                    f"block {bi}: stream header at {pos} past frame end"
+                )
             (sbytes,) = struct.unpack_from("<i", frame, pos)
             pos += 4
             payload = frame[pos:pos + abs(sbytes)]
+            if len(payload) != abs(sbytes):
+                raise BloscError(
+                    f"block {bi}: stream payload truncated "
+                    f"({len(payload)} of {abs(sbytes)} bytes)"
+                )
             pos += abs(sbytes)
             if sbytes == neblock:
-                if len(payload) != neblock:
-                    raise BloscError("raw stream truncated")
                 block += payload
             elif sbytes < 0:
                 # c-blosc never emits negative stream sizes in v1 frames.

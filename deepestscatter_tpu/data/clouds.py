@@ -42,8 +42,8 @@ def load_density(path: str) -> np.ndarray:
         if os.path.exists(npz):
             return load_density(npz)
         # Direct parse via the built-in OpenVDB-subset reader (data/vdb.py);
-        # blosc-compressed archives raise with a pointer to the offline
-        # converter (tools/vdb_to_npz.py, which uses pyopenvdb if present).
+        # handles uncompressed, zlib- and blosc1/LZ4-compressed archives
+        # (data/blosc1.py) — no external library needed.
         from . import vdb as vdb_mod
 
         return vdb_mod.load_density_vdb(path)

@@ -68,19 +68,16 @@ def make_sharded_tick(
             state.subframe_id, s, ray_ids=ray_ids,
         )
         merged = welford_ops.merge(
-            welford_ops.Welford(
-                state.mean, state.m2, state.subframe_id.astype(jnp.float32)
-            ),
+            welford_ops.Welford(state.mean, state.m2, state.count),
             welford_ops.Welford(batch_mean, batch_m2, batch_count),
         )
         new_state = ProgressiveState(
-            merged.mean, merged.m2, state.subframe_id + s
+            merged.mean, merged.m2, merged.count, state.subframe_id + s
         )
         # Per-pixel 95% CI gate on the red channel (Camera.cpp:244-255);
-        # cfg_arr = (min_subframes, rel_tol, abs_tol).
-        cnt = jnp.maximum(
-            jnp.broadcast_to(merged.count, merged.m2.shape)[:, 0], 1.0
-        )
+        # cfg_arr = (min_subframes, rel_tol, abs_tol).  N is the per-pixel
+        # FOLDED count (safety-cap-tripped lanes fold fewer than scheduled).
+        cnt = jnp.maximum(merged.count[:, 0], 1.0)
         sigma = jnp.sqrt(merged.m2[:, 0] / cnt)
         abs_ci = 1.96 * sigma / jnp.sqrt(cnt)
         rel_ci = abs_ci / (merged.mean[:, 0] + jnp.finfo(jnp.float32).eps)
@@ -99,11 +96,11 @@ def make_sharded_tick(
                 shard,
                 shard,
                 shard,
-                ProgressiveState(shard, shard, rep),
+                ProgressiveState(shard, shard, shard, rep),
                 rep,
                 rep,
             ),
-            out_specs=(ProgressiveState(shard, shard, rep), rep),
+            out_specs=(ProgressiveState(shard, shard, shard, rep), rep),
             check_vma=False,
         )
         return fn(params, origins, directions, ray_ids, state, seed_base, cfg_arr)
@@ -149,6 +146,7 @@ class ShardedProgressiveRenderer:
         self.state = ProgressiveState(
             jax.device_put(st.mean, shard),
             jax.device_put(st.m2, shard),
+            jax.device_put(st.count, shard),
             jax.device_put(st.subframe_id, rep),
         )
         p = cfg.progressive

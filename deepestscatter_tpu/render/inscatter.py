@@ -157,10 +157,12 @@ def with_baked_inscatter(
     inscatter_packed = grid_ops.pack_corners(baked)
     if params.inscatter.dtype == jnp.uint8:
         # Keep the uint8 texture convention (values are exact multiples
-        # of 1/255 after the quantize step above).
-        inscatter_packed = jnp.round(inscatter_packed * 255.0).astype(
-            jnp.uint8
-        )
+        # of 1/255 after the quantize step above).  Clip first: transmit-
+        # tance is in [0, 1] by construction, but a wrap through the uint8
+        # cast on any fp spill would be catastrophic, a saturate is inert.
+        inscatter_packed = jnp.round(
+            jnp.clip(inscatter_packed, 0.0, 1.0) * 255.0
+        ).astype(jnp.uint8)
     return params._replace(
         inscatter=inscatter_packed,
         march_rows=make_march_rows(

@@ -415,7 +415,7 @@ def _scatter_loop_deferred(
     # so the bound is the wavefront one — every bounce round is at most one
     # full box crossing, times the samples a lane owns.  Real termination is
     # "no ray alive"; the cap only guards runaway loops.
-    max_iters = (
+    max_iters = static.march_max_iters or (
         (static.max_depth + 1) * (static.max_march_steps + 1) * n_samples
     )
 
@@ -492,6 +492,21 @@ def _scatter_loop_deferred(
                 pending, ray_ids, seed, finished, w_mean, w_m2, w_count,
                 nsamp, pos0, dir0, sub0)
 
+    def fold_if_capped(i, carry):
+        """A phase that exits via the ``max_iters`` safety cap can leave
+        MORE live lanes than the next cascade level's buffer; ``compact``'s
+        fixed-size ``jnp.nonzero`` would silently truncate the excess and
+        drop their in-flight radiance.  On a cap exit, fold every live
+        lane's partial sample (as ``fold_unfinished`` does at the final
+        level) and retire the lane — the cap then degrades gracefully at
+        ANY cascade level."""
+
+        def do(c):
+            c = fold_unfinished(c)
+            return c[:7] + (jnp.zeros_like(c[7]),) + c[8:]
+
+        return jax.lax.cond(i >= max_iters, do, lambda c: c, carry)
+
     # Compaction cascade: the tail — deep-diffusion paths (and, when
     # regenerating, the last unfinished samples) — runs thousands of
     # iterations whose cost is all fixed overhead once the buffer is small;
@@ -512,6 +527,8 @@ def _scatter_loop_deferred(
     phase_nres.append(nres)
     if not levels:
         carry = fold_unfinished(carry)
+    else:
+        carry = fold_if_capped(i, carry)
     w_mean, w_m2, w_count = carry[12], carry[13], carry[14]
     # ``gidx`` maps each compacted lane to its index in the ORIGINAL
     # n-buffer; composing it through every level is what makes multi-level
@@ -528,6 +545,8 @@ def _scatter_loop_deferred(
         phase_nres.append(nres)
         if li + 1 == len(levels):
             carry = fold_unfinished(carry)
+        else:
+            carry = fold_if_capped(i, carry)
         w_mean, w_m2, w_count = merge_back(w_mean, w_m2, w_count, carry, gidx)
     if regen:
         out = (w_mean, w_m2, w_count)

@@ -45,13 +45,15 @@ def paint_error_pixels(sample: jnp.ndarray) -> jnp.ndarray:
 class ProgressiveState(NamedTuple):
     mean: jnp.ndarray  # [N, 3] running radiance mean
     m2: jnp.ndarray  # [N, 3] running sum of squared deviations
-    subframe_id: jnp.ndarray  # scalar int32, count of accumulated subframes
+    count: jnp.ndarray  # [N, 1] per-pixel folded sample count (the CI's N)
+    subframe_id: jnp.ndarray  # scalar int32, scheduled subframes (seeds/cadence)
 
 
 def init_state(n_rays: int, dtype=jnp.float32) -> ProgressiveState:
     return ProgressiveState(
         mean=jnp.zeros((n_rays, 3), dtype),
         m2=jnp.zeros((n_rays, 3), dtype),
+        count=jnp.zeros((n_rays, 1), dtype),
         subframe_id=jnp.int32(0),
     )
 
@@ -60,8 +62,12 @@ def unconverged_count(
     state: ProgressiveState, cfg: ProgressiveConfig
 ) -> jnp.ndarray:
     """Number of pixels failing the 95%-CI gate, on the red channel
-    (Camera.cpp:244-255 uses ``.x``)."""
-    n = jnp.maximum(state.subframe_id.astype(jnp.float32), 1.0)
+    (Camera.cpp:244-255 uses ``.x``).  ``N`` is the per-pixel FOLDED count:
+    a lane whose tick tripped the march safety cap folded fewer samples
+    than scheduled, and its CI must not be sharpened by phantom samples
+    (the collector path got this right first — collectors.py Welford
+    counts; VERDICT r4 weak #7)."""
+    n = jnp.maximum(state.count[:, 0], 1.0)
     sigma = jnp.sqrt(state.m2[:, 0] / n)
     abs_ci = 1.96 * sigma / jnp.sqrt(n)
     rel_ci = abs_ci / (state.mean[:, 0] + jnp.finfo(jnp.float32).eps)
@@ -151,12 +157,12 @@ def render_tick(
         state.subframe_id, s,
     )
     merged = welford_ops.merge(
-        welford_ops.Welford(
-            state.mean, state.m2, state.subframe_id.astype(jnp.float32)
-        ),
+        welford_ops.Welford(state.mean, state.m2, state.count),
         welford_ops.Welford(batch_mean, batch_m2, batch_count),
     )
-    return ProgressiveState(merged.mean, merged.m2, state.subframe_id + s)
+    return ProgressiveState(
+        merged.mean, merged.m2, merged.count, state.subframe_id + s
+    )
 
 
 #: Auto-banding threshold: grids whose fused march rows exceed this many
@@ -258,13 +264,12 @@ class ProgressiveRenderer:
             batch_count = jnp.concatenate([b[2] for b in parts])
             merged = welford_ops.merge(
                 welford_ops.Welford(
-                    self.state.mean, self.state.m2,
-                    self.state.subframe_id.astype(jnp.float32),
+                    self.state.mean, self.state.m2, self.state.count
                 ),
                 welford_ops.Welford(batch_mean, batch_m2, batch_count),
             )
             self.state = ProgressiveState(
-                merged.mean, merged.m2,
+                merged.mean, merged.m2, merged.count,
                 self.state.subframe_id + p.subframes_per_tick,
             )
         sf = int(self.state.subframe_id)

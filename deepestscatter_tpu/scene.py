@@ -84,6 +84,10 @@ class SceneStatic:
     #: Brick rows: cells per axis per fused-row gather (0 = cell rows;
     #: config.CloudRendering.march_brick).
     march_brick: int = 0
+    #: Hard override of the deferred loop's safety-cap iteration bound
+    #: (0 = the derived wavefront bound).  Lets callers bound worst-case
+    #: compute per call — and tests force the cap path deterministically.
+    march_max_iters: int = 0
     #: Sample sky/sun light along paths in the all-scatter mode — the
     #: reference's disabled code path (cloudRadianceMaterials.cu:20-27,
     #: 36-46); see pathtracer._scatter_loop for the estimator notes.
@@ -287,7 +291,12 @@ def build_scene(
     def tex(m):
         packed = grid_ops.pack_corners(jnp.asarray(m, jnp.float32))
         if tex_u8:
-            return jnp.round(packed * 255.0).astype(jnp.uint8)
+            # Clip before the cast: a value a hair outside [0, 1] (fp error
+            # in the mip filter, or a caller-supplied grid) must saturate,
+            # not wrap through the uint8 conversion.
+            return jnp.round(jnp.clip(packed, 0.0, 1.0) * 255.0).astype(
+                jnp.uint8
+            )
         return packed.astype(dtype)
 
     params = SceneParams(

@@ -129,3 +129,43 @@ def test_shuffle_layout():
     # Non-multiple tail stays in place.
     tail = data + b"\xff\xfe"
     assert blosc1._unshuffle(blosc1._shuffle(tail, 4), 4) == tail
+
+
+def test_truncated_frames_raise_blosc_error():
+    """Corrupt/truncated archives must fail with BloscError — the reader's
+    error contract — never raw struct.error / IndexError (round-4 ADVICE:
+    bstarts and stream headers are bounds-checked, LZ4 length-extension and
+    offset reads guard the block end)."""
+    rng = np.random.default_rng(11)
+    payload = rng.integers(0, 50, 4096, dtype=np.uint8).tobytes()
+    frame = blosc1.compress(payload, typesize=4, codec="lz4")
+    # Every truncation point of the whole frame fails typed (or, for cuts
+    # inside trailing slack, still decodes the full payload).
+    for cut in range(0, len(frame), 7):
+        try:
+            out = blosc1.decompress(frame[:cut])
+        except blosc1.BloscError:
+            continue
+        assert out == payload
+    # Bit flips in the header region fail typed or roundtrip-decode.
+    for pos in range(0, min(64, len(frame))):
+        corrupt = bytearray(frame)
+        corrupt[pos] ^= 0xFF
+        try:
+            out = blosc1.decompress(bytes(corrupt))
+        except blosc1.BloscError:
+            continue
+        except NotImplementedError:
+            continue
+        assert isinstance(out, bytes)
+
+
+def test_truncated_lz4_block_raises_typed():
+    data = b"abcdefgh" * 64
+    block = blosc1.lz4_compress(data)
+    for cut in range(len(block)):
+        try:
+            out = blosc1.lz4_decompress(block[:cut], len(data))
+        except blosc1.BloscError:
+            continue
+        assert out == data
