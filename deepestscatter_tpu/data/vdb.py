@@ -67,6 +67,9 @@ UPPER_SPAN = _UPPER_DIM * _LOWER_DIM * _LEAF_DIM  # 4096
 _LOWER_SPAN = _LOWER_DIM * _LEAF_DIM  # 128
 
 _FLOAT_TREE = "Tree_float_5_4_3"
+#: GridDescriptor::HALF_FLOAT_TYPENAME_SUFFIX — appended to the tree type
+#: when the archive was written with ``saveFloatAsHalf``.
+_HALF_SUFFIX = "_HalfFloat"
 
 
 class VdbFormatError(ValueError):
@@ -118,18 +121,34 @@ def _save_mask(f: BinaryIO, bits: np.ndarray) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _read_raw_values(f: BinaryIO, count: int, compression: int) -> np.ndarray:
+def _read_raw_values(
+    f: BinaryIO, count: int, compression: int, to_half: bool = False
+) -> np.ndarray:
     """The value payload, honoring the zip/blosc framing (io::unzipFromStream
     and io::bloscFromStream share it: int64 byte count; a non-positive count
     means 'stored uncompressed').  Blosc takes precedence over zip when both
-    flags are set, as in io::readData."""
-    nbytes = count * 4
+    flags are set, as in io::readData.
+
+    ``to_half``: the archive was written with ``saveFloatAsHalf`` — the BULK
+    value array is serialized as 2-byte IEEE half (io::HalfReader wraps only
+    ``readData``; Compression.h) and converts to float on read.  Everything
+    else (inactive-value metadata, background, root tiles) stays 4-byte
+    float in such archives."""
+    itemsize = 2 if to_half else 4
+    dtype = "<f2" if to_half else "<f4"
+    nbytes = count * itemsize
     blosced = bool(compression & COMPRESS_BLOSC)
     if not blosced and not (compression & COMPRESS_ZIP):
-        return np.frombuffer(_read(f, nbytes), dtype="<f4").copy()
+        return (
+            np.frombuffer(_read(f, nbytes), dtype=dtype)
+            .astype(np.float32, copy=True)
+        )
     stored = _read_struct(f, "<q")
     if stored <= 0:
-        return np.frombuffer(_read(f, -stored if stored else nbytes), dtype="<f4").copy()
+        return (
+            np.frombuffer(_read(f, -stored if stored else nbytes), dtype=dtype)
+            .astype(np.float32, copy=True)
+        )
     payload = _read(f, stored)
     if blosced:
         raw = blosc1.decompress(payload)
@@ -144,7 +163,7 @@ def _read_raw_values(f: BinaryIO, count: int, compression: int) -> np.ndarray:
         raw = zlib.decompress(payload)
         if len(raw) != nbytes:
             raise VdbFormatError(f"zip payload {len(raw)} != expected {nbytes}")
-    return np.frombuffer(raw, dtype="<f4").copy()
+    return np.frombuffer(raw, dtype=dtype).astype(np.float32, copy=True)
 
 
 def _read_compressed_values(
@@ -154,6 +173,7 @@ def _read_compressed_values(
     compression: int,
     background: float,
     file_version: int = _FILE_VERSION,
+    to_half: bool = False,
 ) -> np.ndarray:
     """Reconstruct a node's ``count`` values from the stream."""
     # Since file version 222 the per-buffer metadata byte is ALWAYS present
@@ -165,7 +185,7 @@ def _read_compressed_values(
         else NO_MASK_OR_INACTIVE_VALS
     )
     if meta == NO_MASK_AND_ALL_VALS:
-        return _read_raw_values(f, count, compression)
+        return _read_raw_values(f, count, compression, to_half)
 
     inactive0 = np.float32(background)
     inactive1 = np.float32(-background)
@@ -186,7 +206,7 @@ def _read_compressed_values(
     ):
         sel_mask = _load_mask(f, count)
 
-    stored = _read_raw_values(f, int(value_mask.sum()), compression)
+    stored = _read_raw_values(f, int(value_mask.sum()), compression, to_half)
     out = np.full(count, np.float32(background), dtype=np.float32)
     if meta == NO_MASK_AND_MINUS_BG:
         out[:] = inactive0  # -background; NOTE: two-state case is rare
@@ -199,15 +219,21 @@ def _read_compressed_values(
 
 
 def _write_compressed_values(
-    f: BinaryIO, values: np.ndarray, compression: int = COMPRESS_NONE
+    f: BinaryIO, values: np.ndarray, compression: int = COMPRESS_NONE,
+    as_half: bool = False,
 ) -> None:
     """Writer path: metadata mode 6 (all values verbatim); NONE, ZIP, or
     BLOSC payload framing (the int64-count framing shared by
-    io::zipToStream / io::bloscToStream: negative magnitude = stored raw)."""
+    io::zipToStream / io::bloscToStream: negative magnitude = stored raw).
+    ``as_half`` serializes the bulk array as 2-byte half (saveFloatAsHalf;
+    io::HalfWriter) — metadata values stay float."""
     f.write(struct.pack("<b", NO_MASK_AND_ALL_VALS))
-    raw = np.ascontiguousarray(values, dtype="<f4").tobytes()
+    dtype = "<f2" if as_half else "<f4"
+    raw = np.ascontiguousarray(values, dtype=dtype).tobytes()
     if compression & COMPRESS_BLOSC:
-        comp = blosc1.compress(raw, typesize=4, codec="lz4", shuffle=True)
+        comp = blosc1.compress(
+            raw, typesize=2 if as_half else 4, codec="lz4", shuffle=True
+        )
     elif compression & COMPRESS_ZIP:
         comp = zlib.compress(raw)
     else:
@@ -313,13 +339,13 @@ class _Internal:
 
 def _read_internal_topology(
     f: BinaryIO, origin, log2dim: int, compression: int, background: float,
-    file_version: int = _FILE_VERSION,
+    file_version: int = _FILE_VERSION, to_half: bool = False,
 ) -> _Internal:
     n = (1 << log2dim) ** 3
     child_mask = _load_mask(f, n)
     value_mask = _load_mask(f, n)
     values = _read_compressed_values(
-        f, n, value_mask, compression, background, file_version
+        f, n, value_mask, compression, background, file_version, to_half
     )
     children: Dict[int, object] = {}
     span = _LOWER_SPAN if log2dim == _LOG2_UPPER else _LEAF_DIM
@@ -337,7 +363,8 @@ def _read_internal_topology(
         )
         if log2dim == _LOG2_UPPER:
             children[int(slot)] = _read_internal_topology(
-                f, corigin, _LOG2_LOWER, compression, background, file_version
+                f, corigin, _LOG2_LOWER, compression, background,
+                file_version, to_half,
             )
         else:
             children[int(slot)] = (corigin, _read_leaf_topology(f))
@@ -355,7 +382,8 @@ def _iter_leaves(node: _Internal):
 
 
 def _read_grid_tree(
-    f: BinaryIO, compression: int, file_version: int = _FILE_VERSION
+    f: BinaryIO, compression: int, file_version: int = _FILE_VERSION,
+    to_half: bool = False,
 ) -> Tuple[float, List, List]:
     """Tree::readTopology + readBuffers for Tree_float_5_4_3.
 
@@ -381,7 +409,8 @@ def _read_grid_tree(
         origin = _read_struct(f, "<iii")
         roots.append(
             _read_internal_topology(
-                f, origin, _LOG2_UPPER, compression, background, file_version
+                f, origin, _LOG2_UPPER, compression, background,
+                file_version, to_half,
             )
         )
 
@@ -421,7 +450,8 @@ def _read_grid_tree(
         for origin, _topo_mask in _iter_leaves(r):
             value_mask = _load_mask(f, _LEAF_N)
             values = _read_compressed_values(
-                f, _LEAF_N, value_mask, compression, background, file_version
+                f, _LEAF_N, value_mask, compression, background,
+                file_version, to_half,
             )
             leaves.append((origin, value_mask, values))
     return background, tiles, leaves
@@ -463,8 +493,14 @@ def read_vdb(path: str, dense_limit: int = 2048) -> List[VdbGrid]:
             # for random access, not whether they exist).
             unique_name = _read_string(f)
             grid_type = _read_string(f)
-            if grid_type.endswith("_HalfFloat"):
-                raise VdbFormatError("half-float grids are unsupported")
+            # saveFloatAsHalf archives append GridDescriptor's
+            # HALF_FLOAT_TYPENAME_SUFFIX to the tree type; the in-memory
+            # grid is float, only the serialized bulk buffers are half
+            # (the reference reads these via the library like any other
+            # grid, Resources.cpp:68-155).
+            to_half = grid_type.endswith(_HALF_SUFFIX)
+            if to_half:
+                grid_type = grid_type[: -len(_HALF_SUFFIX)]
             instance_parent = _read_string(f)
             grid_pos, _block_pos, end_pos = _read_struct(f, "<qqq")
             if has_offsets and grid_pos > 0:
@@ -491,7 +527,9 @@ def read_vdb(path: str, dense_limit: int = 2048) -> List[VdbGrid]:
                 f.seek(end_pos)
                 continue
             voxel_size = _read_transform(f)
-            background, tiles, leaves = _read_grid_tree(f, compression, file_version)
+            background, tiles, leaves = _read_grid_tree(
+                f, compression, file_version, to_half
+            )
             grids.append(
                 _densify(
                     unique_name.split("\x1e")[0],
@@ -569,7 +607,7 @@ def _upper_children(dense: np.ndarray):
 
 def _write_tree_topology(
     f: BinaryIO, dense: np.ndarray, background: float,
-    compression: int = COMPRESS_NONE,
+    compression: int = COMPRESS_NONE, as_half: bool = False,
 ) -> None:
     """Tree::writeTopology for a dense [Z, Y, X] array (masks + tile values;
     leaf voxel buffers are a separate stream section — ``_write_tree_buffers``)."""
@@ -580,15 +618,19 @@ def _write_tree_topology(
     f.write(struct.pack("<I", len(children)))
     for origin in children:
         f.write(struct.pack("<iii", *origin))
-        _write_internal(f, dense, origin, _LOG2_UPPER, background, compression)
+        _write_internal(
+            f, dense, origin, _LOG2_UPPER, background, compression, as_half
+        )
 
 
 def _write_tree_buffers(
-    f: BinaryIO, dense: np.ndarray, compression: int = COMPRESS_NONE
+    f: BinaryIO, dense: np.ndarray, compression: int = COMPRESS_NONE,
+    as_half: bool = False,
 ) -> None:
     """Tree::writeBuffers — leaf voxel buffers in depth-first slot order."""
     for origin in _upper_children(dense):
-        _write_leaf_buffers(f, dense, origin, _LOG2_UPPER, compression)
+        _write_leaf_buffers(f, dense, origin, _LOG2_UPPER, compression,
+                            as_half)
 
 
 def _node_slots(dense, origin, log2dim):
@@ -615,7 +657,7 @@ def _node_slots(dense, origin, log2dim):
 
 
 def _write_internal(f, dense, origin, log2dim, background,
-                    compression=COMPRESS_NONE):
+                    compression=COMPRESS_NONE, as_half=False):
     n = (1 << log2dim) ** 3
     child_mask = np.zeros(n, bool)
     slots = list(_node_slots(dense, origin, log2dim))
@@ -624,12 +666,13 @@ def _write_internal(f, dense, origin, log2dim, background,
     _save_mask(f, child_mask)
     _save_mask(f, np.zeros(n, bool))  # no active tiles
     _write_compressed_values(
-        f, np.full(n, background, np.float32), compression
+        f, np.full(n, background, np.float32), compression, as_half
     )
     for slot, corigin, _ in slots:
         if log2dim == _LOG2_UPPER:
             _write_internal(
-                f, dense, corigin, _LOG2_LOWER, background, compression
+                f, dense, corigin, _LOG2_LOWER, background, compression,
+                as_half,
             )
         else:
             _write_leaf_topology(f, dense, corigin)
@@ -649,24 +692,33 @@ def _write_leaf_topology(f, dense, origin):
 
 
 def _write_leaf_buffers(f, dense, origin, log2dim,
-                        compression=COMPRESS_NONE):
+                        compression=COMPRESS_NONE, as_half=False):
     for slot, corigin, _ in _node_slots(dense, origin, log2dim):
         if log2dim == _LOG2_UPPER:
-            _write_leaf_buffers(f, dense, corigin, _LOG2_LOWER, compression)
+            _write_leaf_buffers(f, dense, corigin, _LOG2_LOWER, compression,
+                                as_half)
         else:
             # LeafNode::writeBuffers re-stores the value mask before the
             # compressed values (the mask is in the archive twice).
             values = _leaf_values(dense, corigin)
             _save_mask(f, values != 0)
-            _write_compressed_values(f, values, compression)
+            _write_compressed_values(f, values, compression, as_half)
 
 
-def write_vdb(path: str, grid: VdbGrid, compression: str = "none") -> None:
+def write_vdb(
+    path: str,
+    grid: VdbGrid,
+    compression: str = "none",
+    save_float_as_half: bool = False,
+) -> None:
     """Write one float grid as a version-224 archive.
 
     ``compression``: "none", "zip", or "blosc" (blosc1 lz4+shuffle frames —
     the layout OpenVDB WITH_BLOSC emits; used to build genuine compressed
-    fixtures for the reader tests).
+    fixtures for the reader tests).  ``save_float_as_half`` serializes bulk
+    value buffers as 2-byte half with the ``_HalfFloat`` type suffix
+    (GridDescriptor semantics) — real cloud assets are often written half
+    to halve the file size.
 
     Mirrors ``io::Archive::writeGrid``: the descriptor reserves space for
     the (gridPos, blockPos, endPos) triple, the grid body is written, and
@@ -690,7 +742,9 @@ def write_vdb(path: str, grid: VdbGrid, compression: str = "none") -> None:
         f.write(struct.pack("<I", 1))  # grid count
         # GridDescriptor::writeHeader: unique name, type, instance parent.
         _write_string(f, grid.name)
-        _write_string(f, _FLOAT_TREE)
+        _write_string(
+            f, _FLOAT_TREE + (_HALF_SUFFIX if save_float_as_half else "")
+        )
         _write_string(f, "")  # no instance parent
         stream_pos_at = f.tell()
         f.write(struct.pack("<qqq", 0, 0, 0))  # placeholder positions
@@ -702,9 +756,10 @@ def write_vdb(path: str, grid: VdbGrid, compression: str = "none") -> None:
         mat[0, 0] = mat[1, 1] = mat[2, 2] = grid.voxel_size
         mat[3, 3] = 1.0
         f.write(mat.tobytes())
-        _write_tree_topology(f, dense, grid.background, comp)
+        _write_tree_topology(f, dense, grid.background, comp,
+                             save_float_as_half)
         block_pos = f.tell()
-        _write_tree_buffers(f, dense, comp)
+        _write_tree_buffers(f, dense, comp, save_float_as_half)
         end_pos = f.tell()
         f.seek(stream_pos_at)
         f.write(struct.pack("<qqq", grid_pos, block_pos, end_pos))

@@ -337,3 +337,34 @@ def test_masked_blosc_compression_read():
     np.testing.assert_array_equal(
         out[~value_mask], np.full(int((~value_mask).sum()), background)
     )
+
+
+@pytest.mark.parametrize("compression", ["none", "zip", "blosc"])
+def test_half_float_archive_equals_float_twin(tmp_path, compression):
+    """saveFloatAsHalf archives (``_HalfFloat`` type suffix; bulk value
+    buffers serialized as 2-byte half, metadata/background still float —
+    io::HalfReader wraps only readData) decode to exactly the
+    float32-of-half values of their full-precision twin.  Real cloud
+    assets are often written half; the reference reads them through the
+    library (Resources.cpp:68-155)."""
+    dense = _random_sparse((24, 40, 17), seed=23, density=0.35)
+    full = str(tmp_path / "full.vdb")
+    half = str(tmp_path / "half.vdb")
+    vdb.write_vdb(full, vdb.VdbGrid("density", dense, voxel_size=2.0))
+    vdb.write_vdb(
+        half, vdb.VdbGrid("density", dense, voxel_size=2.0),
+        compression=compression, save_float_as_half=True,
+    )
+    if compression == "none":  # half the bulk bytes
+        assert os.path.getsize(half) < os.path.getsize(full)
+    a = vdb.read_vdb(full)[0]
+    b = vdb.read_vdb(half)[0]
+    assert a.dense.dtype == b.dense.dtype == np.float32
+    # Exact: every value must be the float32 of its IEEE-half rounding.
+    np.testing.assert_array_equal(
+        b.dense, a.dense.astype(np.float16).astype(np.float32)
+    )
+    assert a.bbox_min == b.bbox_min
+    assert a.voxel_size == b.voxel_size
+    # End-to-end through the cloud loader too (bbox-trimmed like any read).
+    np.testing.assert_array_equal(clouds.load_density(half), b.dense)
