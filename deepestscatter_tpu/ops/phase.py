@@ -81,7 +81,13 @@ def _pack_rows(*tables: np.ndarray) -> np.ndarray:
     return np.stack(cols, axis=-1)
 
 
-def load_phase_table(dtype=jnp.float32, inv_cdf_size: int = 4096) -> PhaseTable:
+def load_phase_table(dtype=jnp.float32, inv_cdf_size: int = 16384) -> PhaseTable:
+    """Load the Mie tables and build the packed gather rows.
+
+    ``inv_cdf_size`` 16384 (round 5; was 4096): the fast-path lerp error vs
+    the exact CDF inversion drops from max 0.19 deg to 0.068 deg
+    (MIE_VALIDATION.json ``fast_path``) for a 128 KB table — noise next to
+    the march tables."""
     data = np.load(_ASSET)
     mie = _normalize_mean(data["mie_raw"])
     chopped = _normalize_mean(data["chopped_raw"])

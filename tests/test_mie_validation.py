@@ -96,3 +96,57 @@ def test_live_reference_comparison(tables):
     assert report["chopped"]["cdf_max_abs_diff"] < 0.015
     assert report["inverse_cdf"]["median_angular_err_deg"] < 0.5
     assert report["inverse_cdf"]["max_angular_err_deg"] < 5.0
+
+
+def test_fast_sampler_render_ab(monkeypatch):
+    """Render-level A/B: the fast inverse-table direction sampler vs the
+    exact piecewise-linear CDF inversion must leave the estimator unchanged
+    within Monte-Carlo noise (VERDICT r4 item 7's acceptance check).  Same
+    seeds; only the scatter-cosine draw differs (by <= the fast-path lerp
+    error, max 0.037 deg at 16k entries)."""
+    import jax.numpy as jnp
+
+    from deepestscatter_tpu import scene as scene_mod
+    from deepestscatter_tpu.config import (
+        CameraConfig,
+        CloudModel,
+        CloudRendering,
+        SceneConfig,
+    )
+    from deepestscatter_tpu.data import procedural
+    from deepestscatter_tpu.ops import phase as phase_ops
+    from deepestscatter_tpu.render import camera as camera_ops
+    from deepestscatter_tpu.render import inscatter
+    from deepestscatter_tpu.render import pathtracer as pt
+
+    cfg = SceneConfig(
+        cloud=CloudModel(size_m=900.0),
+        camera=CameraConfig(width=16, height=8),
+        rendering=CloudRendering(max_depth=20, sample_step=1.0 / 64.0),
+    )
+    density = procedural.cumulus(resolution=24, seed=3)
+    params, static = scene_mod.build_scene(cfg, density)
+    params = inscatter.with_baked_inscatter(params, static)
+    basis = camera_ops.camera_basis(cfg.camera)
+    o, d = camera_ops.generate_rays(basis, 16, 8)
+
+    def render_sum(n_sub):
+        acc = 0.0
+        for s in range(n_sub):
+            img = pt.render_subframe(params, static, o, d, 11, jnp.int32(s))
+            acc = acc + np.asarray(img)
+        return acc / n_sub
+
+    fast = render_sum(6)
+    monkeypatch.setattr(
+        phase_ops, "sample_cos_theta_fast",
+        lambda table, u: phase_ops.sample_cos_theta(table, u),
+    )
+    exact = render_sum(6)
+    # Identical RNG streams; the only divergence is the sub-0.04-deg
+    # direction perturbation, which decorrelates a small minority of deep
+    # paths.  The image MEANS must agree tightly.
+    assert abs(fast.mean() - exact.mean()) / exact.mean() < 0.02
+    # And the majority of pixels must be bitwise or near-identical.
+    rel = np.abs(fast - exact) / (np.abs(exact) + 1e-6)
+    assert np.median(rel) < 1e-3

@@ -9,30 +9,31 @@ phase function from first principles:
 - Bohren & Huffman Mie series (logarithmic-derivative downward recurrence
   for a_n/b_n, upward pi_n/tau_n recurrence over the angle grid),
 - water droplets (m = 1.331 + 1.3e-9 i at 550 nm),
-- averaged over a modified-gamma cumulus droplet-size distribution
-  n(r) ~ r^6 exp(-6 r / 10.5) (mode radius 10.5 um), r in micrometers,
+- averaged over a BIMODAL modified-gamma cumulus droplet-size distribution
+  (a narrow small-droplet mode + a broad large mode; parameters below),
+  r in micrometers,
 - tabulated on a uniform cos(theta) grid with 4096 entries over [-1, 1]
   (same resolution/indexing convention as the reference's 1D texture).
 
 The distribution parameters were FITTED to the reference's published curve
-shape, not copied: over a scan of modified-gamma (alpha, r_mode) pairs,
-alpha=6 / r_mode=10.5 um minimizes the log-RMS deviation of the normalized
-phase curve outside the diffraction spike (theta > 3 deg) and reproduces the
-reference's asymmetry parameter (g = 0.9745 vs 0.9750), fogbow (140 deg) and
-glory (180 deg) amplitudes, and full-curve CDF to max |dCDF| = 0.0024.
-``tools/validate_mie.py`` re-measures all of these against the reference
-tables and writes MIE_VALIDATION.json; ``tests/test_physics.py`` pins the
-derived anchors.
+shape, not copied: a Nelder-Mead fit of the 5 mixture parameters minimizing
+the inverse-CDF scatter-angle discrepancy (the sampling-critical statistic)
+with penalties holding the asymmetry parameter and the body curve shape.
+Round 4 shipped a single-mode gamma (alpha=6, r_mode=10.5 um; max angular
+error 2.52 deg, concentrated at the flat-phase 100-deg region and the
+backscatter glory); the round-5 bimodal fit reaches max 0.28 deg /
+p99 0.24 deg / median 0.16 deg with g matched to 4 decimals (0.9750) and
+body log-RMS 0.057.  ``tools/validate_mie.py`` re-measures all of these
+against the reference tables and writes MIE_VALIDATION.json;
+``tests/test_mie_validation.py`` pins the derived anchors.
 
 The "chopped" variant clamps the forward peak at ~13.96x the backscatter
 value — the same cap-to-backscatter ratio observable in the reference's raw
 tables (choppedMie max 9.9666 vs mie[0] = 0.7136) — which removes the
 under-resolved diffraction spike so it can be used for direction sampling
 and deep-bounce phase evaluation.  With the fitted distribution the clamp
-engages over bins 4083..4095 (theta < 6.2 deg) vs the reference's
-4081..4095 (theta < 6.7 deg) and removes 89.7% of the scattered energy vs
-the reference's 90.0%; the chopped CDF agrees to max |dCDF| = 0.0055 and
-the inverse-CDF scatter-direction sample to a median 0.2 deg.
+engages over bins 4082..4095 vs the reference's 4081..4095 and removes
+89.94% of the scattered energy vs the reference's 89.98%.
 
 Output: deepestscatter_tpu/assets/mie_4096.npz with arrays
   cos_theta [N], mie_raw [N], chopped_raw [N]
@@ -102,15 +103,24 @@ def mie_intensity(x: float, m: complex, mu: np.ndarray) -> np.ndarray:
     return 0.5 * (np.abs(s1) ** 2 + np.abs(s2) ** 2)
 
 
-DROPLET_ALPHA = 6.0  # modified-gamma shape exponent
-DROPLET_MODE_UM = 10.5  # mode radius (um), fitted to the reference curve
+#: Bimodal modified-gamma mixture (see module docstring for the fit):
+#: a narrow ~5.6 um mode plus a broad ~9.1 um mode, mixed ~50/50 —
+#: plausible cumulus microphysics (fresh condensation + grown droplets).
+DROPLET_MODES = (
+    # (weight, alpha, r_mode_um)
+    (0.4951, 9.3232, 5.5648),
+    (0.5049, 3.3731, 9.1167),
+)
 
 
 def droplet_distribution(r_um: np.ndarray) -> np.ndarray:
-    """Modified-gamma cumulus droplet number density,
-    n(r) ~ r^alpha exp(-alpha r / r_mode) — alpha=6, mode 10.5 um (fitted;
-    see module docstring for the fit evidence)."""
-    return r_um**DROPLET_ALPHA * np.exp(-DROPLET_ALPHA * r_um / DROPLET_MODE_UM)
+    """Bimodal modified-gamma cumulus droplet number density:
+    sum_i w_i * normalize(r^alpha_i exp(-alpha_i r / r_mode_i))."""
+    out = np.zeros_like(r_um, dtype=np.float64)
+    for w, alpha, mode in DROPLET_MODES:
+        comp = r_um**alpha * np.exp(-alpha * r_um / mode)
+        out += w * comp / comp.sum()
+    return out
 
 
 def compute_tables(n_table: int = N_TABLE):

@@ -110,6 +110,34 @@ def main() -> int:
     ref_mie, ref_chop = parse_reference_tables()
     data = np.load(ASSET)
     report = compare(ref_mie, ref_chop, data["mie_raw"], data["chopped_raw"])
+
+    # Fast-path internal accuracy: the shipped inverse-CDF lerp table
+    # (ops.phase.sample_cos_theta_fast) vs the exact piecewise-linear CDF
+    # inversion of the SAME table (sample_cos_theta) — the granularity
+    # error the renderer actually pays, separate from the table-vs-table
+    # fit above.
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import jax.numpy as jnp
+
+    from deepestscatter_tpu.ops import phase as phase_ops
+
+    table = phase_ops.load_phase_table()
+    u = np.linspace(1e-4, 1.0 - 1e-4, 20001)
+    uu = jnp.asarray(u, jnp.float32)
+    fast = np.asarray(phase_ops.sample_cos_theta_fast(table, uu))
+    exact = np.asarray(phase_ops.sample_cos_theta(table, uu))
+    fa = np.abs(
+        np.degrees(np.arccos(np.clip(fast, -1, 1)))
+        - np.degrees(np.arccos(np.clip(exact, -1, 1)))
+    )
+    report["fast_path"] = {
+        "inv_cdf_size": int(table.inv_cdf_rows.shape[0]),
+        "max_angular_err_deg": float(fa.max()),
+        "p99_angular_err_deg": float(np.percentile(fa, 99)),
+        "median_angular_err_deg": float(np.median(fa)),
+    }
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "MIE_VALIDATION.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
