@@ -101,7 +101,30 @@ class CloudRendering:
     #: march_iter calls between resolve checks: the per-iteration alive/
     #: pending reductions + lax.cond dispatch cost as much as a row gather,
     #: so checking every other iteration ~doubles throughput (measured).
+    #: (Legacy scheduling; unused when march_pipeline is on.)
     march_check_every: int = 2
+    #: Pipelined march scheduling (round 5): the row-gather index stream
+    #: advances on ray GEOMETRY alone and the per-bounce resolve runs
+    #: UNCONDITIONALLY every march_resolve_every iterations — no lax.cond,
+    #: no gather-fed indices — so XLA software-pipelines consecutive
+    #: iterations' gathers.  The march BODY is 3x faster this way (56 →
+    #: 157+ Mrows/s at the 256^3 point: each serialized fetch was waiting
+    #: on the previous fetch's crossing/empty-skip results — PERF_r05.json
+    #: stage table), but in the full BOUNCE loop the static resolve
+    #: cadence wastes lane occupancy (a lane that scatters parks until the
+    #: next resolve; the dynamic pending-share trigger resolves ~3x
+    #: sooner), and the measured END-TO-END render is a wash at 256^3
+    #: (0.44 vs 0.43 Mrays/s) and a regression at 64^3 (0.41 vs 0.66,
+    #: where auto-substeps are huge and parked lanes idle longest) — so
+    #: the default stays the dynamic scheduler.  Estimator is identical
+    #: either way: bit-identical to the non-pipelined loop with
+    #: march_empty_skip=False (the cursor marches THROUGH zero bricks,
+    #: trans *= exp(0)).  Where the pipeline wins OUTRIGHT is the
+    #: resolve-free standalone march — the neural renderers' camera passes
+    #: enable it explicitly (render/neural.py).
+    march_pipeline: bool = False
+    #: March iterations per unconditional resolve in the pipelined loop.
+    march_resolve_every: int = 4
     #: Storage dtype for the fused march rows: "float32" or "uint8".
     #: uint8 is the REFERENCE'S semantics (both the density volume and the
     #: baked in-scatter grid are uint8 textures, Resources.cpp:93-96,

@@ -57,8 +57,15 @@ _OFFSETS = _layer_offsets()
 
 def light_frame(light_dir: jnp.ndarray, view_dir: jnp.ndarray):
     """The light-oriented descriptor basis (DisneyDescriptor.cuh:74-76).
-    ``view_dir`` [N, 3]; returns (eX, eY, eZ) each [N, 3]."""
-    ez = -light_dir / jnp.linalg.norm(light_dir)
+    ``view_dir`` [N, 3]; ``light_dir`` is a single [3] vector or a per-row
+    [N, 3] batch (the training datasets mix scenes with different lights);
+    returns (eX, eY, eZ) each [N, 3].
+
+    The norm is PER ROW (axis=-1): a global Frobenius norm over an [N, 3]
+    batch scaled eZ by 1/sqrt(N), which collapsed the dataset-path α angle
+    to ±π/2 via the doubly-scaled eY dot product (round-5 bug fix, caught
+    by tests/test_device_train.py's host/device equality check)."""
+    ez = -light_dir / jnp.linalg.norm(light_dir, axis=-1, keepdims=True)
     ez = jnp.broadcast_to(ez, view_dir.shape)
     ex = jnp.cross(ez, view_dir)
     ex = ex / jnp.maximum(jnp.linalg.norm(ex, axis=-1, keepdims=True), 1e-12)

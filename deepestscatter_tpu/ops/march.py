@@ -204,7 +204,16 @@ def next_scattering_event(
         new_active = active & is_in_box(cur, params.bbox_size)
         if stop_at_scatter:
             new_active = new_active & (~scattered)
-        if static.march_empty_skip and skip_k < 2:
+        if static.march_empty_skip and skip_k < 2 and not static.march_pipeline:
+            # Pipelined mode drops the empty-region jump: the jump distance
+            # derives from the FETCHED row, which would serialize the next
+            # iteration's gather on this iteration's fetch (the 3x
+            # scheduling effect measured in PERF_r05.json).  Without the
+            # jump — and with ``stop_at_scatter=False`` so liveness is
+            # geometric — the whole loop's index stream is geometry-only
+            # and XLA software-pipelines the gathers.  Marching through a
+            # zero brick multiplies trans by exp(-0) exactly: values are
+            # bit-identical, only iteration counts change.
             # Free empty-space skipping out of the row we already fetched:
             # ALL corners zero => trilinear density == 0 across the closed
             # fetch region; jump rays still live in it to its exit face on

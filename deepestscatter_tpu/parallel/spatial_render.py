@@ -74,19 +74,38 @@ def shard_scene(
     axis: str = "space",
     halo: int = 1,
     march_rows: Optional[np.ndarray] = None,
+    static: Optional[SceneStatic] = None,
 ) -> SpatialScene:
     """Build the sharded scene: march rows → per-device halo slabs.
 
     ``march_rows`` may be given as a HOST numpy array so the full grid
     never has to exist on any single device (the only-fits-sharded path);
     by default ``params.march_rows`` is used.
+
+    Brick scenes (``static.march_brick > 0``, round 5): the flat
+    ``[NB, W]`` brick-row table reshapes to its ``[NBz, NBy, NBx, W]``
+    lattice and z-slab shards in BRICK units with a one-BRICK halo (the
+    NEE scatter point sits ≤ one cell behind the sample — inside the
+    previous brick at worst).  ``NBz`` pads up to a multiple of the slab
+    count; padded bricks are never owned (ownership tests real brick
+    coordinates) so their contents are inert.
     """
     rows = march_rows if march_rows is not None else params.march_rows
-    if rows.ndim < 4:
+    brick = static.march_brick if static is not None else 0
+    if brick:
+        nbz, nby, nbx = grid_ops.brick_counts(static.grid_shape, brick)
+        rows = np.asarray(rows).reshape(nbz, nby, nbx, -1)
+        n_dev = int(mesh.shape[axis])
+        pad = (-nbz) % n_dev
+        if pad:
+            rows = np.concatenate(
+                [rows, np.zeros((pad,) + rows.shape[1:], rows.dtype)], axis=0
+            )
+    elif rows.ndim < 4:
         raise ValueError(
-            "spatial sharding requires CELL march rows [Z, Y, X, 16] — "
-            "build the scene with march_brick=0 (brick rows have no z-slab "
-            "layout to decompose)"
+            "spatial sharding requires CELL march rows [Z, Y, X, 16] or a "
+            "brick scene (pass static= so the brick lattice can be "
+            "reshaped for slab decomposition)"
         )
     slabs = HaloSlabGrid(mesh, axis=axis, halo=halo).scatter(rows)
     rep = NamedSharding(mesh, P())
@@ -147,20 +166,32 @@ def make_spatial_subframe(
     """
     n_dev = int(mesh.shape[axis])
     nz, ny, nx = static.grid_shape
-    assert nz % n_dev == 0, f"Z={nz} must divide over {n_dev} slabs"
+    brick = static.march_brick
+    if brick:
+        nbz, nby_b, nbx_b = grid_ops.brick_counts(static.grid_shape, brick)
+        nbz_pad = -(-nbz // n_dev) * n_dev
+        slab = nbz_pad // n_dev  # slab thickness in BRICKS
+        half = (brick + 1) ** 3
+        n_sub = max(1, static.march_substeps)
+    else:
+        assert nz % n_dev == 0, f"Z={nz} must divide over {n_dev} slabs"
+        slab = nz // n_dev
+        n_sub = 1
     if static.sample_sky:
         raise NotImplementedError(
             "sample_sky is not supported on the spatially sharded march "
             "(use the replicated renderer for that estimator variant)"
         )
-    slab = nz // n_dev
     h = halo
     if steps_per_phase is None:
         # Steps a z-parallel ray needs to cross one slab: slab thickness in
         # normalized units over the sample step (≥1).
+        span_cells = slab * brick if brick else slab
         steps_per_phase = max(
-            1, int(round(slab * static.voxel_size_normalized / static.sample_step))
+            1,
+            int(round(span_cells * static.voxel_size_normalized / static.sample_step)),
         )
+    iters_per_phase = -(-steps_per_phase // n_sub)
     mode = static.mode
     if mode is RenderMode.SUN_SINGLE_SCATTER:
         # The single-scatter estimator is the bounce loop stopped after the
@@ -171,12 +202,15 @@ def make_spatial_subframe(
     step = jnp.float32(static.sample_step)
     dm = jnp.float32(static.density_multiplier)
     tiny = jnp.float32(1e-30)
-    max_iters = static.max_total_steps
+    # Brick iterations can cover fewer than n_sub real steps at brick
+    # boundaries, so the step-counted cap gets headroom.
+    max_iters = static.max_total_steps * (2 if brick else 1)
 
     def local_subframe(slab_rows, scene, origins, directions, seed, subframe, ray_ids):
         d_idx = jax.lax.axis_index(axis)
         z0 = d_idx * slab
-        rows_flat = slab_rows[0].reshape(-1, 16)
+        row_w = slab_rows.shape[-1]
+        rows_flat = slab_rows[0].reshape(-1, row_w)
         rows_scale = jnp.float32(scene_mod.march_rows_scale(slab_rows))
         n = origins.shape[0]
         f32 = jnp.float32
@@ -206,8 +240,113 @@ def make_spatial_subframe(
             return (cell[..., 2] >= z0) & (cell[..., 2] < z0 + slab)
 
         def local_row_idx(cell):
+            if brick:
+                zl = jnp.clip(cell[..., 2] - z0 + h, 0, slab + 2 * h - 1)
+                return (zl * nby_b + cell[..., 1]) * nbx_b + cell[..., 0]
             zl = jnp.clip(cell[..., 2] - z0 + h, 0, slab + 2 * h - 1)
             return (zl * ny + cell[..., 1]) * nx + cell[..., 0]
+
+        def march_step_brick(carry, _):
+            """Brick-slab iteration: ONE row gather serves up to ``n_sub``
+            steps inside the fetched brick; the (at most one) crossing's
+            bounce tail (NEE + direction resample + free-flight reset) runs
+            once after the substeps — identical draws, positions, and
+            arithmetic (ops.grid.trilinear_from_brick) to the replicated
+            brick march, so per-sample values match the single-device
+            renderer exactly as the cell body does."""
+            (pos, dirn, trans, od, depth, weight, radiance, alive, mine0) = carry
+            first = pos + dirn * step
+            bc0, _, _, _ = grid_ops.brick_cell(
+                first / bbox, static.grid_shape, brick
+            )
+            rows = jnp.take(
+                rows_flat, local_row_idx(bc0), axis=0, mode="clip"
+            ).astype(f32)
+            dens_rows = rows[:, :half] * rows_scale
+            marching = mine0 & alive & own(bc0)
+            live = marching
+            cur = pos
+            crossed_any = jnp.zeros_like(alive)
+            exited_any = jnp.zeros_like(alive)
+            scatter_pos = jnp.zeros_like(pos)
+            for j in range(n_sub):
+                newp = first if j == 0 else cur + dirn * step
+                bcj, fracj, _, localj = grid_ops.brick_cell(
+                    newp / bbox, static.grid_shape, brick
+                )
+                ok = live if j == 0 else live & jnp.all(bcj == bc0, axis=-1)
+                density = (
+                    grid_ops.trilinear_from_brick(dens_rows, localj, fracj, brick)
+                    * dm
+                )
+                trans_new = jnp.where(ok, trans * jnp.exp(-density * step), trans)
+                crossed = ok & (od > trans_new)
+                back = march_ops.back_correct_distance(od, trans_new, density)
+                sp = newp - dirn * back[:, None]
+                scatter_pos = jnp.where(crossed[:, None], sp, scatter_pos)
+                inb = is_in_box(newp, bbox)
+                exited_any = exited_any | (ok & ~crossed & ~inb)
+                pos = jnp.where(
+                    ok[:, None], jnp.where(crossed[:, None], sp, newp), pos
+                )
+                trans = trans_new
+                crossed_any = crossed_any | crossed
+                live = ok & ~crossed & inb
+                cur = jnp.where(ok[:, None], newp, cur)
+
+            in_box_scatter = is_in_box(scatter_pos, bbox)
+            scattered = crossed_any & in_box_scatter
+            chopped = (depth != 1) | jnp.bool_(chopped_at_depth1)
+            cos_light = (-scene.light_dir * dirn).sum(axis=-1)
+            p_full, p_chop = phase_ops.eval_phase_pair(scene.phase, cos_light)
+            p = jnp.where(chopped, p_chop, p_full)
+            s_bc, s_frac, _, s_local = grid_ops.brick_cell(
+                scatter_pos / bbox, static.grid_shape, brick
+            )
+            s_ridx = jnp.where(scattered, local_row_idx(s_bc), 0)
+            s_rows = jnp.take(
+                rows_flat, s_ridx, axis=0, mode="clip"
+            ).astype(f32)[:, half:2 * half] * rows_scale
+            trans_sun = grid_ops.trilinear_from_brick(
+                s_rows, s_local, s_frac, brick
+            )
+            factor = weight * p * static.sun_solid_angle_ratio
+            radiance = radiance + jnp.where(
+                scattered[:, None],
+                (factor * trans_sun)[:, None] * scene.light_radiance,
+                0.0,
+            )
+
+            ctr = depth * _DRAWS_PER_BOUNCE
+            u_cdf = rng_ops.hash_uniform(seed_s, ids, ctr + 1)
+            u_phi = rng_ops.hash_uniform(seed_s, ids, ctr + 2)
+            cos_theta = phase_ops.sample_cos_theta_fast(scene.phase, u_cdf)
+            local = rng_ops.uniform_on_sphere_circle(u_phi, cos_theta)
+            nd = rng_ops.from_onb(local, dirn)
+            nd = nd / jnp.linalg.norm(nd, axis=-1, keepdims=True)
+            new_depth = jnp.where(crossed_any, depth + 1, depth)
+            od_next = rng_ops.hash_uniform(
+                seed_s, ids, new_depth * _DRAWS_PER_BOUNCE
+            )
+            dirn = jnp.where(scattered[:, None], nd, dirn)
+            trans = jnp.where(crossed_any, 1.0, trans)
+            od = jnp.where(crossed_any, od_next, od)
+            dead = (
+                exited_any
+                | (crossed_any & ~in_box_scatter)
+                | (crossed_any & (new_depth >= static.max_depth))
+            )
+            if static.rr_start_depth > 0:
+                q = jnp.float32(static.rr_survival)
+                u_rr = rng_ops.hash_uniform(seed_s, ids, ctr + 3)
+                rr_active = crossed_any & (new_depth >= static.rr_start_depth)
+                killed = rr_active & (u_rr >= q)
+                weight = jnp.where(rr_active & ~killed, weight / q, weight)
+                dead = dead | killed
+            alive = alive & ~dead
+            return (
+                pos, dirn, trans, od, new_depth, weight, radiance, alive, mine0,
+            ), None
 
         def march_step(carry, _):
             (pos, dirn, trans, od, depth, weight, radiance, alive, mine0) = carry
@@ -308,11 +447,17 @@ def make_spatial_subframe(
         def phase_body(state):
             i, pos, dirn, trans, od, depth, weight, radiance, alive = state
             nxt = pos + dirn * step
-            cell, _, _ = grid_ops.packed_cell(nxt / bbox, static.grid_shape)
+            if brick:
+                cell, _, _, _ = grid_ops.brick_cell(
+                    nxt / bbox, static.grid_shape, brick
+                )
+            else:
+                cell, _, _ = grid_ops.packed_cell(nxt / bbox, static.grid_shape)
             mine0 = alive & own(cell)
             carry0 = (pos, dirn, trans, od, depth, weight, radiance, alive, mine0)
             carry, _ = jax.lax.scan(
-                march_step, carry0, None, length=steps_per_phase
+                march_step_brick if brick else march_step,
+                carry0, None, length=iters_per_phase,
             )
             old = (pos, dirn, trans, od, depth, weight, radiance, alive)
             new = carry[:8]
@@ -381,7 +526,7 @@ def render_spatial_frame(
     pinhole frame → HDR [H, W, 3] (the spatial analog of a progressive
     tick; per-subframe RNG keying matches render/progressive.py)."""
     if scene is None:
-        scene = shard_scene(mesh, params, axis=axis)
+        scene = shard_scene(mesh, params, axis=axis, static=static)
     origins, directions = camera_ops.generate_rays(basis, width, height)
     ray_ids = jnp.arange(origins.shape[0], dtype=jnp.uint32)
     fn = make_spatial_subframe(mesh, static, axis=axis)

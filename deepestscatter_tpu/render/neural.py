@@ -25,6 +25,7 @@ reference's 128x128 tiling + host "did anything scatter" early-out
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, NamedTuple
 
 import jax
@@ -59,19 +60,30 @@ def conditional_scatter(
 ) -> ConditionalScatter:
     """The shared neural-renderer camera logic
     (disneyDescriptorMaterial.cu:14-46 / lightProbeMaterial.cu:26-87):
-    total transmittance, conditional scatter draw, NEE direct radiance."""
+    total transmittance, conditional scatter draw, NEE direct radiance.
+
+    Both passes run the PIPELINED march (march_pipeline=True; round 5):
+    with ``stop_at_scatter=False`` the loop's liveness and fetch cursor are
+    pure ray geometry, so XLA overlaps consecutive iterations' row gathers
+    — the camera march was the measured 3x-serialized half of the neural
+    frame (docs/PERFORMANCE.md breakdown).  Pass 2 therefore marches to
+    the box exit instead of stopping at its scatter event; the recorded
+    first-crossing position and flag are bit-identical either way (the
+    crossing test gates on ``~scattered``), and the extra post-scatter
+    steps are cheaper than the serialization they remove."""
+    pstatic = dataclasses.replace(static, march_pipeline=True)
     # Pass 1: full march for total transmittance (optical_distance = 0 can
     # never trigger a scatter, mirroring getNextScatteringEvent(..., false)).
     zero_od = jnp.zeros_like(hit, jnp.float32)
     full = march_ops.next_scattering_event(
-        params, static, zero_od, entry_pos, directions, stop_at_scatter=False
+        params, pstatic, zero_od, entry_pos, directions, stop_at_scatter=False
     )
     trans = full.transmittance
     # Pass 2: scatter point importance-sampled given that scattering occurs.
     u = rng_ops.hash_uniform(seed, ray_ids, jnp.int32(0))
     od = 1.0 - u * (1.0 - trans)
     scatter = march_ops.next_scattering_event(
-        params, static, od, entry_pos, directions, stop_at_scatter=True
+        params, pstatic, od, entry_pos, directions, stop_at_scatter=False
     )
     ok = (
         hit

@@ -201,7 +201,10 @@ def _scatter_loop_deferred(
     #          10 seed, 11 finished, 12 w_mean, 13 w_m2, 14 w_count,
     #          15 nsamp, 16 pos0, 17 dir0, 18 sub0 — the per-lane respawn
     #          seed-schedule offset travels with the lane through
-    #          compaction)
+    #          compaction — 19 gcur: the GEOMETRIC fetch cursor of the
+    #          pipelined march (advances on ray geometry alone so the next
+    #          iteration's row gather never waits on this iteration's
+    #          fetched data; re-synced to pos at each resolve))
     carry0 = (
         pos,
         direction,
@@ -224,13 +227,14 @@ def _scatter_loop_deferred(
         jnp.broadcast_to(
             jnp.asarray(respawn_sub0 if regen else 0, jnp.int32), (n,)
         ),
+        pos,  # gcur
     )
 
     def march_iter(carry):
         """ONE row gather + up to ``n_sub`` march steps inside that cell."""
         (pos, dirn, trans, od, depth, weight, radiance, alive, pending,
          ray_ids, seed, finished, w_mean, w_m2, w_count, nsamp,
-         pos0, dir0, sub0) = carry
+         pos0, dir0, sub0, gcur) = carry
         active = alive & ~pending & ~finished
         first = pos + dirn * step
         cell0, _, ridx0, _ = fetch_cell(first / params.bbox_size)
@@ -285,7 +289,67 @@ def _scatter_loop_deferred(
             pos = pos + dirn * (advance * step)[:, None]
         return (pos, dirn, trans, od, depth, weight, radiance, alive,
                 pending, ray_ids, seed, finished, w_mean, w_m2, w_count,
-                nsamp, pos0, dir0, sub0)
+                nsamp, pos0, dir0, sub0, gcur)
+
+    def march_iter_geo(carry):
+        """Pipelined march iteration: the row-gather INDEX comes from the
+        geometric cursor ``gcur``, which advances on ray geometry alone
+        (same-brick substep checks + box exit) — never on fetched density.
+        XLA can then software-pipeline consecutive iterations' gathers
+        (measured 3.5x the serialized body at the 256^3 operating point:
+        PERF_r05.json stages; the serialized form's next index waits on
+        ``crossed``/empty-skip, both functions of the fetched row).
+
+        Physics writes (transmittance, crossing, park/finish) use exactly
+        the v1 masks and the identical step lattice, so per-sample values
+        are bit-identical to the non-pipelined loop with empty-skip off;
+        the cursor marches THROUGH zero-density bricks (skipped by v1's
+        data-dependent jump), where ``trans *= exp(-0) == trans`` exactly.
+        A parked/finished lane's cursor keeps advancing (its fetches are
+        the usual lockstep waste); ``resolve`` re-syncs ``gcur = pos``."""
+        (pos, dirn, trans, od, depth, weight, radiance, alive, pending,
+         ray_ids, seed, finished, w_mean, w_m2, w_count, nsamp,
+         pos0, dir0, sub0, gcur) = carry
+        active = alive & ~pending & ~finished
+        first = gcur + dirn * step
+        cell0, _, ridx0, _ = fetch_cell(first / params.bbox_size)
+        rows = jnp.take(dens_tab, ridx0, axis=0, mode="clip").astype(f32)
+        dens_rows = rows * rows_scale
+
+        march_ok = active
+        cur = gcur
+        for j in range(n_sub):
+            newp = first if j == 0 else cur + dirn * step
+            cellj, fracj, _, localj = fetch_cell(newp / params.bbox_size)
+            same = None if j == 0 else jnp.all(cellj == cell0, axis=-1)
+            inb = is_in_box(newp, params.bbox_size)
+            ok_geo = inb if j == 0 else same & inb
+            density = sample_rows(dens_rows, fracj, localj) * dm
+            ok = march_ok if j == 0 else march_ok & same
+            trans_new = jnp.where(ok, trans * jnp.exp(-density * step), trans)
+            crossed = ok & (od > trans_new)
+            back = march_ops.back_correct_distance(od, trans_new, density)
+            spos = newp - dirn * back[:, None]
+            in_box_s = is_in_box(spos, params.bbox_size)
+            pos = jnp.where(
+                ok[:, None], jnp.where(crossed[:, None], spos, newp), pos
+            )
+            trans = trans_new
+            pending = pending | (crossed & in_box_s)
+            fin_evt = (ok & ~crossed & ~inb) | (crossed & ~in_box_s)
+            if use_sky:
+                radiance = radiance + jnp.where(
+                    fin_evt[:, None],
+                    sky_exit_radiance(dirn, depth, weight),
+                    0.0,
+                )
+            finished = finished | fin_evt
+            march_ok = ok & ~crossed & inb
+            # Cursor advance: geometry only (brick residency + box).
+            cur = jnp.where(ok_geo[:, None], newp, cur)
+        return (pos, dirn, trans, od, depth, weight, radiance, alive,
+                pending, ray_ids, seed, finished, w_mean, w_m2, w_count,
+                nsamp, pos0, dir0, sub0, cur)
 
     def resolve(carry):
         """Batched per-bounce tail for every pending ray (NEE + direction
@@ -294,7 +358,7 @@ def _scatter_loop_deferred(
         respawn of finished samples."""
         (pos, dirn, trans, od, depth, weight, radiance, alive, pending,
          ray_ids, seed, finished, w_mean, w_m2, w_count, nsamp,
-         pos0, dir0, sub0) = carry
+         pos0, dir0, sub0, gcur) = carry
         pend = pending & alive
         chopped = (depth != 1) | jnp.bool_(chopped_at_depth1)
         cos_light = (-params.light_dir * dirn).sum(axis=-1)
@@ -375,11 +439,49 @@ def _scatter_loop_deferred(
         else:
             alive = alive & ~fold
         finished = finished & ~fold
+        # Pipelined cursor re-sync: the resolve is the one serialization
+        # point per bounce; the cursor resumes from the authoritative
+        # physics position (scatter point, or respawn anchor).
         return (pos, dirn, trans, od, depth, weight, radiance, alive,
                 jnp.zeros_like(pending), ray_ids, seed, finished,
-                w_mean, w_m2, w_count, nsamp, pos0, dir0, sub0)
+                w_mean, w_m2, w_count, nsamp, pos0, dir0, sub0, pos)
+
+    def merge_resolved(marched, resolved, touch):
+        """Apply the overlapped resolve's outputs: lanes the resolve acted
+        on (parked at block start) take the resolved state wholesale; all
+        others keep the marched state.  The two lane sets are disjoint by
+        construction — the march never writes a parked lane's physics, the
+        resolve never touches an actively marching lane."""
+        t1 = touch[:, None]
+
+        def pick(m, r):
+            return jnp.where(t1 if r.ndim == 2 else touch, r, m)
+
+        return tuple(pick(m, r) for m, r in zip(marched, resolved))
 
     def loop_body(state):
+        if static.march_pipeline:
+            # Pipelined block: K geometric-cursor march iterations with the
+            # parked lanes' RESOLVE computed CONCURRENTLY from the block-
+            # start state and merged at block end.  No ``lax.cond`` (a
+            # conditional resolve re-serializes every iteration's gather:
+            # 52 vs 157+ Mrows/s measured, PERF_r05.json), and the resolve's
+            # own serialized gather chain (in-scatter row, phase pair,
+            # inverse CDF) overlaps the block's marching instead of
+            # stalling it.  A lane that scatters mid-block parks and is
+            # resolved in the NEXT block — per-lane sequences (and thus
+            # every sampled value) are unchanged; only idle timing moves.
+            i, nres, carry = state
+            touch = (carry[8] | carry[11]) & carry[7]
+            resolved = resolve(carry)
+            carry, _ = jax.lax.scan(
+                lambda c, _: (march_iter_geo(c), None),
+                carry,
+                None,
+                length=static.march_resolve_every,
+            )
+            carry = merge_resolved(carry, resolved, touch)
+            return (i + static.march_resolve_every, nres + 1, carry)
         i, nres, carry = state
         if static.march_check_every > 1:
             carry, _ = jax.lax.scan(
@@ -445,7 +547,7 @@ def _scatter_loop_deferred(
             jnp.zeros((m, 3), f32),  # fresh w_mean chunk
             jnp.zeros((m, 3), f32),  # fresh w_m2 chunk
             jnp.zeros((m,), f32),  # fresh w_count chunk
-            small[15], small[16], small[17], small[18],
+            small[15], small[16], small[17], small[18], small[19],
         )
         return small, idx, valid
 
@@ -478,7 +580,7 @@ def _scatter_loop_deferred(
         kept) instead of dropping the lane's radiance."""
         (pos, dirn, trans, od, depth, weight, radiance, alive, pending,
          ray_ids, seed, finished, w_mean, w_m2, w_count, nsamp,
-         pos0, dir0, sub0) = carry
+         pos0, dir0, sub0, gcur) = carry
         fold = alive
         cnt_new = w_count + fold.astype(f32)
         nsafe = jnp.maximum(cnt_new, 1.0)
@@ -490,7 +592,7 @@ def _scatter_loop_deferred(
         w_count = jnp.where(fold, cnt_new, w_count)
         return (pos, dirn, trans, od, depth, weight, radiance, alive,
                 pending, ray_ids, seed, finished, w_mean, w_m2, w_count,
-                nsamp, pos0, dir0, sub0)
+                nsamp, pos0, dir0, sub0, gcur)
 
     def fold_if_capped(i, carry):
         """A phase that exits via the ``max_iters`` safety cap can leave

@@ -81,6 +81,13 @@ class SceneStatic:
     #: march_iter calls between resolve checks (amortizes the per-iteration
     #: reduction + cond overhead over several row fetches).
     march_check_every: int = 2
+    #: Pipelined march: geometric fetch cursor + unconditional resolve
+    #: cadence (config.CloudRendering.march_pipeline notes: a measured
+    #: wash/regression for the bounce loop — default off — and the clear
+    #: win for the resolve-free standalone march, where the neural camera
+    #: passes turn it on).
+    march_pipeline: bool = False
+    march_resolve_every: int = 4
     #: Brick rows: cells per axis per fused-row gather (0 = cell rows;
     #: config.CloudRendering.march_brick).
     march_brick: int = 0
@@ -271,6 +278,8 @@ def build_scene(
         # unsatisfiable (the == alive trigger in the loop is the backstop).
         march_resolve_frac=min(cfg.rendering.march_resolve_frac, 1.0),
         march_check_every=cfg.rendering.march_check_every,
+        march_pipeline=cfg.rendering.march_pipeline,
+        march_resolve_every=max(1, cfg.rendering.march_resolve_every),
         march_brick=brick,
         sample_sky=cfg.rendering.sample_sky,
     )

@@ -53,8 +53,14 @@ def train_disney(
     config: TrainConfig = TrainConfig(),
     mesh=None,
     epochs: Optional[int] = None,
+    device_resident: bool = False,
 ) -> trainer_mod.Trainer:
-    """DisneyTrainer().run() (TrainDisneyModel.py:35-39)."""
+    """DisneyTrainer().run() (TrainDisneyModel.py:35-39).
+
+    ``device_resident``: upload the record tables to HBM once and train in
+    jitted scan chunks (train.device_data) — the production path for
+    reference-scale datasets/epochs; the host-batch path remains the
+    default for small runs and tests."""
     triplet = DatasetTriplet(dataset_root)
     train_ds = DisneyDataset(triplet.train)
     val_ds = DisneyDataset(triplet.validation)
@@ -62,6 +68,12 @@ def train_disney(
     variables = model.init(
         jax.random.PRNGKey(config.seed), jnp.zeros((1, 10, 226))
     )
+    dev = val_dev = None
+    if device_resident:
+        from .device_data import DeviceDisneyData
+
+        dev = DeviceDisneyData(triplet.train)
+        val_dev = DeviceDisneyData(triplet.validation)
     t = trainer_mod.Trainer(
         name="DisneyModel",
         apply_fn=lambda p, b: model.apply(p, b["z_layers"]),
@@ -70,6 +82,8 @@ def train_disney(
         val_batch=_val_batch_fn(val_ds, config.val_batch_size),
         config=config,
         mesh=mesh,
+        device_data=dev,
+        val_device_data=val_dev,
     )
     t.restore()  # resume a preempted run: warm optimizer, exact trajectory
     t.run(epochs=epochs)
@@ -81,6 +95,7 @@ def train_baked(
     config: TrainConfig = TrainConfig(),
     mesh=None,
     epochs: Optional[int] = None,
+    device_resident: bool = False,
 ) -> trainer_mod.Trainer:
     """BakedTrainer().run() (TrainBakedModel.py:47-51) — end-to-end training
     of the two-stage model; exports the submodels separately."""
@@ -123,6 +138,12 @@ def train_baked(
             os.path.join(run_dir, "BakedModel.params.msgpack"), params
         )
 
+    dev = val_dev = None
+    if device_resident:
+        from .device_data import DeviceBakedData
+
+        dev = DeviceBakedData(triplet.train)
+        val_dev = DeviceBakedData(triplet.validation)
     t = trainer_mod.Trainer(
         name="BakedModel",
         apply_fn=apply_fn,
@@ -132,6 +153,8 @@ def train_baked(
         config=config,
         mesh=mesh,
         export_params=export_params,
+        device_data=dev,
+        val_device_data=val_dev,
     )
     t.restore()  # resume a preempted run: warm optimizer, exact trajectory
     t.run(epochs=epochs)

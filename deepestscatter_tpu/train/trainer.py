@@ -25,6 +25,7 @@ with pjit — gradients all-reduce over ICI automatically.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import time
@@ -108,6 +109,35 @@ def make_eval_step(apply_fn: Callable[..., jnp.ndarray]):
     return step
 
 
+def make_chunk_step(
+    apply_fn: Callable[..., jnp.ndarray],
+    tx: optax.GradientTransformation,
+    assemble_fn: Callable[[jnp.ndarray], Tuple[Any, jnp.ndarray]],
+):
+    """``validate_every`` optimizer steps as ONE jitted ``lax.scan`` over an
+    uploaded ``[k, B]`` index schedule, with batches gathered on device from
+    resident tables (train.device_data).  Each scan iteration is the exact
+    ``make_train_step`` update, so the trajectory equals k sequential
+    step calls; per-chunk host traffic is the index array alone."""
+
+    def loss_fn(params, batch, labels):
+        preds = apply_fn(params, batch)[:, 0]
+        return log_mse_loss(preds, labels)
+
+    def one(state: TrainState, idx):
+        batch, labels = assemble_fn(idx)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, labels)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunk(state: TrainState, idx_chunk: jnp.ndarray):
+        return jax.lax.scan(one, state, idx_chunk)
+
+    return chunk
+
+
 class MetricsWriter:
     """Append-only JSONL scalar log (the tensorboardX replacement)."""
 
@@ -161,6 +191,12 @@ class Trainer:
     config: TrainConfig = TrainConfig()
     mesh: Optional[Mesh] = None
     export_params: Optional[Callable[[Any, str], None]] = None
+    #: Device-resident fast path (train.device_data.DeviceDisneyData /
+    #: DeviceBakedData): when set, ``run`` executes ``validate_every``-step
+    #: jitted scan chunks over on-device tables instead of per-step host
+    #: batches.  ``val_device_data`` supplies the validation tables.
+    device_data: Optional[Any] = None
+    val_device_data: Optional[Any] = None
 
     def __post_init__(self):
         self.tx = adam_amsgrad(self.config.learning_rate)
@@ -264,6 +300,8 @@ class Trainer:
         batches are skipped (data order is keyed by (seed, epoch), so batch
         k of the schedule is deterministic): the resumed run continues the
         exact uninterrupted trajectory — warm optimizer, same data."""
+        if self.device_data is not None:
+            return self._run_device(epochs)
         cfg = self.config
         done = int(self.state.step)
         consumed = 0
@@ -282,5 +320,57 @@ class Trainer:
                         raise FloatingPointError(
                             f"train loss is {train_loss} at step {step}"
                         )
+                    self.metrics.scalar("train_loss", train_loss, step)
+                    self.validate_and_save()
+
+    def _run_device(self, epochs: Optional[int] = None) -> None:
+        """Device-resident loop: ``validate_every``-step scan chunks over
+        HBM tables (make_chunk_step); validation + checkpoint cadence,
+        NaN abort, and resume-by-skipping match the legacy loop (the skip
+        replays the identical (seed, epoch)-keyed schedule)."""
+        from . import device_data as dd
+
+        cfg = self.config
+        data, vdata = self.device_data, self.val_device_data
+        chunk_step = make_chunk_step(self.apply_fn, self.tx, data.assemble)
+        vpool = vdata.pool()
+        vsel = np.random.default_rng(999).permutation(vpool)[
+            : cfg.val_batch_size
+        ]
+        val_idx = jnp.asarray(np.sort(vsel).astype(np.int32))
+        self.val_batch = lambda: vdata.assemble(val_idx)
+        pool = data.pool()
+        K = cfg.validate_every
+        done = int(self.state.step)
+        consumed = 0
+        for epoch in range(epochs if epochs is not None else cfg.epochs):
+            sched = dd.epoch_schedule(pool, cfg.batch_size, cfg.seed, epoch)
+            s = 0
+            while s < len(sched):
+                k = min(K, len(sched) - s)
+                if consumed + k <= done:
+                    consumed += k
+                    s += k
+                    continue
+                if consumed < done:
+                    # Mid-chunk resume (e.g. a legacy checkpoint): skip the
+                    # already-done prefix; the next pass runs the remainder
+                    # of the chunk, staying on the exact schedule.
+                    skip = done - consumed
+                    consumed += skip
+                    s += skip
+                    continue
+                self.state, losses = chunk_step(
+                    self.state, jnp.asarray(sched[s : s + k])
+                )
+                consumed += k
+                s += k
+                step = int(self.state.step)
+                train_loss = float(losses[-1])
+                if not np.isfinite(train_loss):
+                    raise FloatingPointError(
+                        f"train loss is {train_loss} at step {step}"
+                    )
+                if step % K == 0 or s >= len(sched):
                     self.metrics.scalar("train_loss", train_loss, step)
                     self.validate_and_save()
