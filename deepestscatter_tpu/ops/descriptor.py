@@ -120,7 +120,17 @@ def gather_descriptor(
         ) * scale
         pos = world_pos[:, None, :] + off
         u = pos / params.bbox_size
-        density = grid_ops.sample_mip(params.density_mips, u, max(mip, 0.0))
+        if params.density_mip_bricks and static.mip_shapes:
+            # Brick-3 mip tables (round 5): 64-byte aligned rows from
+            # tables 3x smaller than the packed corners — bit-identical
+            # values, measurably faster rows on the featurizer's dominant
+            # gather traffic (PERF_r05.json).
+            density = grid_ops.sample_mip_bricks(
+                params.density_mip_bricks, static.mip_shapes, u,
+                max(mip, 0.0),
+            )
+        else:
+            density = grid_ops.sample_mip(params.density_mips, u, max(mip, 0.0))
         # Fade to zero outside the box over one mip voxel.
         t = jnp.clip(distance_to_box(pos, params.bbox_size, mip_voxel) / mip_voxel, 0.0, 1.0)
         layers.append(density * (1.0 - t))

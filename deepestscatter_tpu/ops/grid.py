@@ -357,30 +357,102 @@ def pack_bricks(
     grids where the fetch dominates the march.
     """
     assert a.shape == b.shape
-    nz, ny, nx = a.shape
+    return jnp.concatenate(
+        [pack_bricks_single(a, brick), pack_bricks_single(b, brick)], axis=-1
+    )
+
+
+def pack_bricks_single(g: jnp.ndarray, brick: int = 3) -> jnp.ndarray:
+    """ONE grid's brick-corner lattice → ``[NB, (brick+1)^3]`` (the
+    density half of ``pack_bricks``; also the descriptor mip-table layout:
+    64-byte aligned uint8 rows from a table 3x smaller than the 8-corner
+    packing — both first-order gather-rate levers, PERF_r04.json)."""
+    nz, ny, nx = g.shape
     nbz, nby, nbx = brick_counts((nz, ny, nx), brick)
     b1 = brick + 1
+    zi = jnp.minimum(
+        jnp.arange(nbz)[:, None] * brick + jnp.arange(b1)[None, :], nz - 1
+    )
+    yi = jnp.minimum(
+        jnp.arange(nby)[:, None] * brick + jnp.arange(b1)[None, :], ny - 1
+    )
+    xi = jnp.minimum(
+        jnp.arange(nbx)[:, None] * brick + jnp.arange(b1)[None, :], nx - 1
+    )
+    t = jnp.take(g, zi.reshape(-1), axis=0).reshape(nbz, b1, ny, nx)
+    t = jnp.take(t, yi.reshape(-1), axis=2).reshape(nbz, b1, nby, b1, nx)
+    t = jnp.take(t, xi.reshape(-1), axis=4).reshape(nbz, b1, nby, b1, nbx, b1)
+    # → [nbz, nby, nbx, cz, cy, cx]
+    t = t.transpose(0, 2, 4, 1, 3, 5)
+    return t.reshape(nbz * nby * nbx, b1**3)
 
-    def lattice(g):
-        zi = jnp.minimum(
-            jnp.arange(nbz)[:, None] * brick + jnp.arange(b1)[None, :], nz - 1
-        )
-        yi = jnp.minimum(
-            jnp.arange(nby)[:, None] * brick + jnp.arange(b1)[None, :], ny - 1
-        )
-        xi = jnp.minimum(
-            jnp.arange(nbx)[:, None] * brick + jnp.arange(b1)[None, :], nx - 1
-        )
-        t = jnp.take(g, zi.reshape(-1), axis=0).reshape(nbz, b1, ny, nx)
-        t = jnp.take(t, yi.reshape(-1), axis=2).reshape(nbz, b1, nby, b1, nx)
-        t = jnp.take(t, xi.reshape(-1), axis=4).reshape(
-            nbz, b1, nby, b1, nbx, b1
-        )
-        # → [nbz, nby, nbx, cz, cy, cx]
-        t = t.transpose(0, 2, 4, 1, 3, 5)
-        return t.reshape(nbz * nby * nbx, b1**3)
 
-    return jnp.concatenate([lattice(a), lattice(b)], axis=-1)
+def sample_brick_table(
+    table: jnp.ndarray,
+    grid_shape: Tuple[int, int, int],
+    u: jnp.ndarray,
+    brick: int = 3,
+) -> jnp.ndarray:
+    """Trilinear sample from a ``pack_bricks_single`` table — one row
+    gather + the brick contraction; values bit-identical to the packed-
+    corner path (``brick_cell`` shares ``packed_cell``'s frac math and
+    ``trilinear_from_brick`` reproduces the cell-row lerp bit-for-bit,
+    tests/test_march_deferred.py)."""
+    _, frac, ridx, local = brick_cell(u, grid_shape, brick)
+    rows = jnp.take(table, ridx, axis=0, mode="clip")
+    if table.dtype == jnp.uint8:
+        rows = rows.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    # Extract the sample's 8 cell corners from the fetched lattice with
+    # one-hot contractions, then run the SAME 8-corner lerp as the
+    # packed-corner path — bit-identical results (the direct 2-hot brick
+    # contraction reassociates the lerp at the last ulp).
+    return trilinear_from_rows(brick_cell_rows(rows, local, brick), frac)
+
+
+def brick_cell_rows(
+    lattice: jnp.ndarray, local: jnp.ndarray, brick: int
+) -> jnp.ndarray:
+    """Extract a cell's 8 corners from a fetched brick lattice →
+    ``[..., 8]`` in ``pack_corners`` order (x fastest) — arithmetic corner
+    selection (one-hot per axis), no gathers."""
+    b1 = brick + 1
+    v = lattice.reshape(*lattice.shape[:-1], b1, b1, b1)  # [..., z, y, x]
+    i = jnp.arange(b1)
+
+    def onehots(l):
+        l = l[..., None]
+        oh0 = (i == l).astype(lattice.dtype if lattice.dtype != jnp.uint8 else jnp.float32)
+        oh1 = (i == l + 1).astype(oh0.dtype)
+        return jnp.stack([oh0, oh1], axis=-2)  # [..., 2, b1]
+
+    ohz = onehots(local[..., 2])
+    ohy = onehots(local[..., 1])
+    ohx = onehots(local[..., 0])
+    t = jnp.einsum("...zyx,...cz->...cyx", v, ohz)
+    t = jnp.einsum("...cyx,...dy->...cdx", t, ohy)
+    t = jnp.einsum("...cdx,...ex->...cde", t, ohx)  # [..., z2, y2, x2]
+    return t.reshape(*lattice.shape[:-1], 8)
+
+
+def sample_mip_bricks(
+    tables: Sequence[jnp.ndarray],
+    shapes: Sequence[Tuple[int, int, int]],
+    u: jnp.ndarray,
+    lod: float,
+    brick: int = 3,
+) -> jnp.ndarray:
+    """``sample_mip`` over brick mip tables (static fractional LOD,
+    linear-mipmap-linear) — identical values, faster rows."""
+    n_levels = len(tables)
+    lod = float(min(max(lod, 0.0), n_levels - 1))
+    lo = int(np.floor(lod))
+    hi = min(lo + 1, n_levels - 1)
+    frac = lod - lo
+    lo_val = sample_brick_table(tables[lo], shapes[lo], u, brick)
+    if frac == 0.0 or lo == hi:
+        return lo_val
+    hi_val = sample_brick_table(tables[hi], shapes[hi], u, brick)
+    return lo_val * (1.0 - frac) + hi_val * frac
 
 
 def brick_cell(

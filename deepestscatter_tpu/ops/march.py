@@ -153,6 +153,43 @@ def next_scattering_event(
             return grid_ops.trilinear_from_brick(rows_half, local, frac, brick)
         return grid_ops.trilinear_from_rows(rows_half, frac)
 
+    # Pipelined fast path: clip the march to the tight nonzero-density
+    # AABB (static.cloud_aabb) — density outside is exactly zero, so the
+    # clipped segments multiply transmittance by exp(0) and can never
+    # scatter.  Entry advances on the step lattice; rays missing the
+    # cloud AABB entirely never march at all; liveness tests the AABB so
+    # the empty tail is never walked.  Gated on march_pipeline: the
+    # jump's fused position arithmetic differs from repeated adds at the
+    # ulp (the empty-skip equivalence class), so the default loop stays
+    # bit-exact.
+    aabb_clip = static.march_pipeline and bool(static.cloud_aabb)
+    pos_orig = pos
+    active0 = is_in_box(pos, params.bbox_size)
+    if aabb_clip:
+        lo = jnp.asarray(static.cloud_aabb[:3], f32)
+        hi = jnp.asarray(static.cloud_aabb[3:], f32)
+        safe_dir = jnp.where(
+            jnp.abs(direction) > 1e-9, direction, jnp.asarray(1e-9, f32)
+        )
+        ta = (lo - pos) / safe_dir
+        tb = (hi - pos) / safe_dir
+        t_near = jnp.maximum(jnp.minimum(ta, tb).max(-1), 0.0)
+        t_far = jnp.maximum(ta, tb).min(-1)
+        hits_aabb = t_far > t_near
+        enter_k = jnp.floor(t_near / step)
+        pos = pos + direction * (
+            jnp.where(hits_aabb, enter_k, 0.0) * step
+        )[:, None]
+
+        def inside(p):
+            return jnp.all((p >= lo) & (p <= hi), axis=-1)
+
+    else:
+        hits_aabb = None
+
+        def inside(p):
+            return is_in_box(p, params.bbox_size)
+
     def cond(state):
         i, _, _, _, _, active = state
         return jnp.logical_and(i < static.max_march_steps, jnp.any(active))
@@ -190,7 +227,7 @@ def next_scattering_event(
             cand = new_pos - direction * back[:, None]
             scatter_pos = jnp.where(crossed[:, None], cand, scatter_pos)
             scattered = scattered | crossed
-            in_box = is_in_box(new_pos, params.bbox_size)
+            in_box = inside(new_pos)
             exited = ok & (~in_box) & (~scattered)
             # Rays that exit without scattering report the exit position
             # (cloud.cuh:108-111).
@@ -201,7 +238,7 @@ def next_scattering_event(
                 live = live & (~scattered)
             cur = jnp.where(ok[:, None], new_pos, cur)
 
-        new_active = active & is_in_box(cur, params.bbox_size)
+        new_active = active & inside(cur)
         if stop_at_scatter:
             new_active = new_active & (~scattered)
         if static.march_empty_skip and skip_k < 2 and not static.march_pipeline:
@@ -234,7 +271,16 @@ def next_scattering_event(
         jnp.ones((n,), f32),
         jnp.zeros((n,), bool),
         jnp.zeros_like(pos),
-        is_in_box(pos, params.bbox_size),
+        active0 & hits_aabb if aabb_clip else active0,
     )
     _, _, trans, scattered, scatter_pos, _ = jax.lax.while_loop(cond, body, init)
+    if aabb_clip:
+        # Non-scattered rays report the (analytic) full-box exit point —
+        # the aabb-clipped loop never walks the empty tail to find it.
+        bb = params.bbox_size
+        tb0 = (0.0 - pos_orig) / safe_dir
+        tb1 = (bb - pos_orig) / safe_dir
+        t_box_far = jnp.maximum(tb0, tb1).min(-1)
+        exit_pos = pos_orig + direction * t_box_far[:, None]
+        scatter_pos = jnp.where(scattered[:, None], scatter_pos, exit_pos)
     return ScatterEvent(scattered, scatter_pos, trans)

@@ -43,6 +43,15 @@ class SceneParams(NamedTuple):
     sky_intensity: jnp.ndarray  # [3]
     ground_intensity: jnp.ndarray  # [3]
     phase: PhaseTable
+    #: Brick-3 mip tables for the descriptor featurizer (round 5): one
+    #: [NB, 64] ``pack_bricks_single`` table per mip level — 64-byte
+    #: aligned rows from tables 3x smaller than the 8-corner packing,
+    #: the two measured levers on the gather-bound descriptor
+    #: (PERF_r05.json: the 10-layer descriptor is the dominant term of a
+    #: neural frame).  Values are bit-identical to the packed-corner
+    #: path; empty tuple = sample from ``density_mips`` (hand-built
+    #: params, e.g. render/diff.py).
+    density_mip_bricks: Tuple[jnp.ndarray, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +104,15 @@ class SceneStatic:
     #: (0 = the derived wavefront bound).  Lets callers bound worst-case
     #: compute per call — and tests force the cap path deterministically.
     march_max_iters: int = 0
+    #: Per-mip-level grid shapes (index math for the brick mip tables;
+    #: empty = no brick mip tables were built).
+    mip_shapes: Tuple[Tuple[int, int, int], ...] = ()
+    #: Tight axis-aligned bounds of NONZERO density, in local coordinates
+    #: (6 floats: lo_xyz + hi_xyz, one-cell margin).  The pipelined
+    #: standalone march clips its iteration range to this box — density
+    #: outside is exactly zero, so skipped segments multiply transmittance
+    #: by exp(0) and can never scatter (round 5; empty = full box).
+    cloud_aabb: Tuple[float, ...] = ()
     #: Sample sky/sun light along paths in the all-scatter mode — the
     #: reference's disabled code path (cloudRadianceMaterials.cu:20-27,
     #: 36-46); see pathtracer._scatter_loop for the estimator notes.
@@ -126,6 +144,11 @@ class SceneStatic:
             math.ceil(self.max_depth * (mean_segment_steps + 3.0))
             + 2 * self.max_march_steps
         )
+
+
+#: Brick edge of the descriptor mip tables (64 corners = 64-byte uint8
+#: rows, already a power of two — no padding needed).
+_DESCRIPTOR_BRICK = 3
 
 
 def march_row_width(brick: int) -> int:
@@ -217,6 +240,20 @@ def build_scene(
     nz, ny, nx = density.shape
     bbox = grid_ops.bbox_size_from_shape(density.shape)
 
+    # Tight nonzero-density bounds in local coordinates (one-cell margin:
+    # trilinear support reaches one corner beyond the last nonzero voxel).
+    nzm = np.asarray(density) > 0.0
+    if nzm.any():
+        zi, yi, xi = [np.nonzero(nzm.any(axis=ax))[0] for ax in ((1, 2), (0, 2), (0, 1))]
+        dims_xyz = np.asarray([nx, ny, nz], np.float64)
+        lo_idx = np.asarray([xi[0], yi[0], zi[0]], np.float64)
+        hi_idx = np.asarray([xi[-1], yi[-1], zi[-1]], np.float64)
+        aabb_lo = np.maximum(lo_idx - 1.0, 0.0) / dims_xyz * bbox
+        aabb_hi = np.minimum(hi_idx + 2.0, dims_xyz) / dims_xyz * bbox
+        cloud_aabb = tuple(float(v) for v in np.concatenate([aabb_lo, aabb_hi]))
+    else:
+        cloud_aabb = tuple(float(v) for v in np.concatenate([0.0 * bbox, bbox]))
+
     light_dir = np.asarray(cfg.light.direction, np.float32)
     light_dir = light_dir / np.linalg.norm(light_dir)
 
@@ -243,6 +280,8 @@ def build_scene(
     static = SceneStatic(
         grid_shape=(nz, ny, nx),
         n_mips=len(mips),
+        mip_shapes=tuple(tuple(int(s) for s in m.shape) for m in mips),
+        cloud_aabb=cloud_aabb,
         sample_step=cfg.rendering.sample_step,
         density_multiplier=cfg.density_multiplier,
         max_depth=cfg.rendering.max_depth,
@@ -297,19 +336,33 @@ def build_scene(
     # renderers' dominant gather traffic).
     tex_u8 = cfg.rendering.march_dtype == "uint8"
 
-    def tex(m):
-        packed = grid_ops.pack_corners(jnp.asarray(m, jnp.float32))
+    def quantize(m):
+        m = jnp.asarray(m, jnp.float32)
         if tex_u8:
             # Clip before the cast: a value a hair outside [0, 1] (fp error
             # in the mip filter, or a caller-supplied grid) must saturate,
             # not wrap through the uint8 conversion.
-            return jnp.round(jnp.clip(packed, 0.0, 1.0) * 255.0).astype(
-                jnp.uint8
-            )
-        return packed.astype(dtype)
+            return jnp.round(jnp.clip(m, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return m.astype(dtype)
+
+    def tex(m):
+        # Pack corners of the ALREADY-quantized grid: the brick mip tables
+        # below must hold the identical stored values (corners are copies
+        # of grid voxels, so quantize-then-pack == pack-then-quantize).
+        return grid_ops.pack_corners(quantize(m))
+
+    # Brick-3 mip tables for the descriptor featurizer: 64-byte aligned
+    # rows from tables 3x smaller than the packed corners — the measured
+    # gather-rate levers (SceneParams.density_mip_bricks notes).  Tiny top
+    # levels stay on the packed path (a 1^3 grid has no bricks to pack).
+    mip_bricks = tuple(
+        grid_ops.pack_bricks_single(quantize(m), _DESCRIPTOR_BRICK)
+        for m in mips
+    )
 
     params = SceneParams(
         density_mips=tuple(tex(m) for m in mips),
+        density_mip_bricks=mip_bricks,
         inscatter=tex(inscatter),
         march_rows=make_march_rows(
             jnp.asarray(mips[0], jnp.float32),

@@ -157,3 +157,27 @@ class TestBakedRenderer:
         )
         assert frame.shape == (16, 24, 3)
         assert np.all(np.isfinite(np.asarray(frame)))
+
+
+def test_descriptor_brick_mips_bitwise(tiny_scene):
+    """The brick-3 descriptor mip tables (round 5) must reproduce the
+    packed-corner mip path bit-for-bit — same quantized values, same frac
+    math (ops.grid.brick_cell == packed_cell), same trilinear result
+    (trilinear_from_brick == the cell-row lerp)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepestscatter_tpu.ops import descriptor as desc_ops
+
+    cfg, params, static = tiny_scene
+    rng = np.random.default_rng(8)
+    pos = jnp.asarray(
+        rng.random((64, 3)).astype(np.float32)
+    ) * params.bbox_size
+    d = rng.normal(size=(64, 3))
+    d = jnp.asarray((d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32))
+    assert params.density_mip_bricks, "build_scene must emit brick mip tables"
+    a = desc_ops.gather_descriptor(params, static, pos, d, n_layers=5)
+    legacy = params._replace(density_mip_bricks=())
+    b = desc_ops.gather_descriptor(legacy, static, pos, d, n_layers=5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
