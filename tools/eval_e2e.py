@@ -110,6 +110,8 @@ def run_eval(
     out_json: Optional[str] = None,
     skip_baked: bool = False,
     verbose: bool = True,
+    run_name: str = "runs",
+    device_resident: bool = True,
 ) -> Dict:
     from deepestscatter_tpu import tasks
     from deepestscatter_tpu.config import (
@@ -152,7 +154,7 @@ def run_eval(
     radiance_cfg = radiance_cfg or PointRadianceConfig(
         black_min_experiments=20_000
     )
-    run_dir = os.path.join(root, "runs")
+    run_dir = os.path.join(root, run_name)
     train_cfg = train_cfg or TrainConfig(
         run_dir=run_dir, val_batch_size=min(4096, val_scenes * batch_size)
     )
@@ -186,14 +188,20 @@ def run_eval(
                              "DisneyModel.params.msgpack")
     t0 = time.time()
     if not os.path.exists(nn_export):
-        t = entries.train_disney(root, config=train_cfg, epochs=epochs_disney)
+        t = entries.train_disney(
+            root, config=train_cfg, epochs=epochs_disney,
+            device_resident=device_resident,
+        )
         results["val_loss_nn"] = t.best_val
     timings["train_nn_s"] = round(time.time() - t0, 1)
     bnn_export = os.path.join(run_dir, "BakedModel",
                               "LightProbeModel.params.msgpack")
     t0 = time.time()
     if not skip_baked and not os.path.exists(bnn_export):
-        t = entries.train_baked(root, config=train_cfg, epochs=epochs_baked)
+        t = entries.train_baked(
+            root, config=train_cfg, epochs=epochs_baked,
+            device_resident=device_resident,
+        )
         results["val_loss_bnn"] = t.best_val
     timings["train_bnn_s"] = round(time.time() - t0, 1)
 
@@ -201,16 +209,26 @@ def run_eval(
     setup = triplet.validation.table("SceneSetup").get_record(0)
     cfg, params, static = tasks.scene_from_setup(setup, base_cfg)
     basis = camera_ops.camera_basis(cfg.camera)
-    img_dir = os.path.join(root, "renders")
+    img_dir = os.path.join(
+        root, "renders" if (width, height) == (256, 128)
+        else f"renders_{width}x{height}"
+    )
     os.makedirs(img_dir, exist_ok=True)
 
+    # The converged PT ground truth is the longest render; reuse a
+    # previously-written EXR so a resumed/staged eval never re-pays it.
+    pt_path = os.path.join(img_dir, "eval.PT.exr")
     t0 = time.time()
-    prog = ProgressiveRenderer(cfg, params, static, seed=render_seed)
-    pt = prog.run(verbose=verbose)
+    if os.path.exists(pt_path):
+        pt = exr.read_exr(pt_path)
+        results["pt_subframes"] = -1  # reused from disk
+    else:
+        prog = ProgressiveRenderer(cfg, params, static, seed=render_seed)
+        pt = prog.run(verbose=verbose)
+        results["pt_subframes"] = int(prog.state.subframe_id)
+        exr.write_exr(pt_path, pt)
     timings["render_pt_s"] = round(time.time() - t0, 1)
-    results["pt_subframes"] = int(prog.state.subframe_id)
     results["pt_mean"] = float(pt.mean())
-    exr.write_exr(os.path.join(img_dir, "eval.PT.exr"), pt)
 
     def neural_frame(kind: str, models_dir: str) -> np.ndarray:
         weights = tasks._load_neural_weights(kind, models_dir)
@@ -282,6 +300,9 @@ def main(argv=None):
     p.add_argument("--epochs-nn", type=int, default=50)
     p.add_argument("--epochs-bnn", type=int, default=30)
     p.add_argument("--skip-baked", action="store_true")
+    p.add_argument("--run-name", default="runs",
+                   help="training run subdirectory under --root (use a "
+                        "fresh name to retrain instead of reusing exports)")
     args = p.parse_args(argv)
     # Long unattended runs on the tunneled chip: if a device call wedges,
     # dump all-thread tracebacks every 10 min so the hang site is in the log.
@@ -301,6 +322,7 @@ def main(argv=None):
         epochs_baked=args.epochs_bnn,
         out_json=args.out,
         skip_baked=args.skip_baked,
+        run_name=args.run_name,
     )
 
 
