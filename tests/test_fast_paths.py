@@ -46,3 +46,65 @@ def test_inv_cdf_sampling_matches_exact(rng):
         np.asarray(phase.chopped_cdf),
     )
     np.testing.assert_allclose(cdf_fast, cdf_exact, atol=2e-3)
+
+
+def test_pipelined_standalone_march_statistical():
+    """The pipelined standalone march (geometric cursor + tight-AABB clip,
+    no empty-skip; round 5 — the neural camera path) is the empty-skip
+    equivalence class of the legacy march: scatter decisions and
+    transmittance agree except on od-threshold-grazing lanes, and the
+    estimator-level statistics match."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepestscatter_tpu import scene as scene_mod
+    from deepestscatter_tpu.config import (
+        CameraConfig,
+        CloudModel,
+        CloudRendering,
+        SceneConfig,
+    )
+    from deepestscatter_tpu.data import procedural
+    from deepestscatter_tpu.ops import march as march_ops
+    from deepestscatter_tpu.render import camera as camera_ops
+
+    cfg = SceneConfig(
+        cloud=CloudModel(size_m=900.0),
+        camera=CameraConfig(width=24, height=12),
+        rendering=CloudRendering(sample_step=1.0 / 96.0, march_dtype="uint8"),
+    )
+    density = procedural.cumulus(resolution=24, seed=6)
+    params, static = scene_mod.build_scene(cfg, density)
+    basis = camera_ops.camera_basis(cfg.camera)
+    o, d = camera_ops.generate_rays(basis, 24, 12)
+    hit, t_hit = camera_ops.intersect_box(o, d, static, params.bbox_size)
+    entry = o + d * t_hit[:, None] + 0.5 * params.bbox_size
+    rng = np.random.default_rng(2)
+    od = jnp.asarray(rng.uniform(1e-3, 1.0, o.shape[0]), jnp.float32)
+
+    legacy = march_ops.next_scattering_event(
+        params, dataclasses.replace(static, march_pipeline=False),
+        od, entry, d, stop_at_scatter=False,
+    )
+    pipe = march_ops.next_scattering_event(
+        params, dataclasses.replace(static, march_pipeline=True),
+        od, entry, d, stop_at_scatter=False,
+    )
+    sl = np.asarray(legacy.has_scattered)
+    sp = np.asarray(pipe.has_scattered)
+    n = len(sl)
+    assert (sl == sp).sum() >= n - max(2, n // 50), "scatter flags diverge"
+    both = sl & sp
+    np.testing.assert_allclose(
+        np.asarray(pipe.transmittance), np.asarray(legacy.transmittance),
+        rtol=5e-3, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pipe.scatter_pos)[both],
+        np.asarray(legacy.scatter_pos)[both],
+        rtol=5e-3, atol=5e-3,
+    )
+    # Rays that miss the cloud AABB never march: transmittance exactly 1.
+    assert np.isfinite(np.asarray(pipe.transmittance)).all()
