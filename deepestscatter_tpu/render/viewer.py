@@ -82,6 +82,8 @@ class InteractiveSession:
         self.exposure = cfg.camera.exposure
         self.paused = False
         self.rotation = np.eye(3, dtype=np.float32)
+        #: Smoothed per-tick wall time (the reference's MS/FRAME readout).
+        self.ms_per_frame: float | None = None
         self._rebuild()
 
     def _rebuild(self) -> None:
@@ -115,10 +117,24 @@ class InteractiveSession:
     # -- the loop body ------------------------------------------------------
 
     def tick(self) -> np.ndarray:
-        """One display tick → tone-mapped uint8 [H, W, 3] frame."""
+        """One display tick → tone-mapped uint8 [H, W, 3] frame.
+
+        Tracks a smoothed ``ms_per_frame`` (the reference prints MS/FRAME
+        per display tick, GuiExecutionLoop.cpp:114-128 via
+        sutil::displayMillisecondsPerFrame)."""
+        import time as _time
+
+        t0 = _time.time()
         if not self.paused:
             self.renderer.tick()
-        return self.display_image()
+        frame = self.display_image()
+        dt_ms = (_time.time() - t0) * 1e3
+        self.ms_per_frame = (
+            dt_ms
+            if self.ms_per_frame is None
+            else 0.8 * self.ms_per_frame + 0.2 * dt_ms
+        )
+        return frame
 
     def display_image(self) -> np.ndarray:
         import jax.numpy as jnp
