@@ -9,8 +9,8 @@ directly (no OpenVDB dependency, which this image does not ship):
 - archive header versions 220-224; NONE, ZIP, and BLOSC compression
   (blosc1 frames with byte shuffle + lz4/zlib/zstd — the subset OpenVDB
   emits when built WITH_BLOSC, its default; see ``data/blosc1.py``),
-  active-mask value compression (all 7 per-node metadata modes), half
-  floats rejected;
+  active-mask value compression (all 7 per-node metadata modes),
+  saveFloatAsHalf bulk buffers (``_HalfFloat`` grids, round 5);
 - tree topology: RootNode tiles+children, Internal(5)/Internal(4) masks and
   tile values, Leaf(3) masks and voxel buffers;
 - transforms: Affine/Scale/UniformScale/Translation/(Uniform)ScaleTranslate
@@ -18,6 +18,18 @@ directly (no OpenVDB dependency, which this image does not ship):
 - writer emits version-224 archives (NONE, ZIP, or BLOSC compression,
   metadata mode 6 — every value stored raw) used for round-trip tests and
   by ``tools/vdb_to_npz.py --roundtrip``.
+
+Validation provenance (recorded honestly): every compressed fixture in the
+test suite is written by this module's own writer or hand-built from the
+public format specifications; the LZ4 block codec is additionally pinned
+by hand-decoded external vectors.  An anchor fixture PRODUCED BY the
+OpenVDB library itself is still missing — this build environment has no
+OpenVDB (pyopenvdb absent, no C++ package) and no network egress, so no
+library-written .vdb bytes can be obtained here; the committed parser
+risk is a symmetric reader/writer misunderstanding of the container
+framing.  First action on any machine with OpenVDB: write a tiny grid
+with the library at each compression setting and check it into
+tests/fixtures/.
 
 Layout note: dense arrays here are [Z, Y, X] (the package-wide convention,
 ops/grid.py) while VDB coordinates are (x, y, z).

@@ -112,6 +112,7 @@ def run_eval(
     verbose: bool = True,
     run_name: str = "runs",
     device_resident: bool = True,
+    collect: bool = True,
 ) -> Dict:
     from deepestscatter_tpu import tasks
     from deepestscatter_tpu.config import (
@@ -166,20 +167,25 @@ def run_eval(
     )
 
     # -- 2. the 4 collector stages on both stores ---------------------------
+    # ``collect=False`` trains/evaluates on whatever prefix a separately
+    # supervised collection run has produced (tools/collect_r05.py
+    # interleaves the stages per scene, so any stop point is a consistent
+    # prefix; dataset length is min over tables as always).
     t0 = time.time()
-    for store_name, store in (("train", triplet.train),
-                              ("val", triplet.validation)):
-        for stage in ("ScatterSample", "Result", "DisneyDescriptor",
-                      "BakedInterpolationSet"):
-            t1 = time.time()
-            n = tasks.collect(
-                store, stage, tasks.CollectMode.CONTINUE, base=base_cfg,
-                radiance_cfg=radiance_cfg, batch_size=batch_size,
-                verbose=verbose,
-            )
-            if verbose and n:
-                print(f"[eval] {store_name}/{stage}: {n} scenes "
-                      f"({time.time() - t1:.1f}s)", flush=True)
+    if collect:
+        for store_name, store in (("train", triplet.train),
+                                  ("val", triplet.validation)):
+            for stage in ("ScatterSample", "Result", "DisneyDescriptor",
+                          "BakedInterpolationSet"):
+                t1 = time.time()
+                n = tasks.collect(
+                    store, stage, tasks.CollectMode.CONTINUE, base=base_cfg,
+                    radiance_cfg=radiance_cfg, batch_size=batch_size,
+                    verbose=verbose,
+                )
+                if verbose and n:
+                    print(f"[eval] {store_name}/{stage}: {n} scenes "
+                          f"({time.time() - t1:.1f}s)", flush=True)
     timings["collect_s"] = round(time.time() - t0, 1)
 
     # -- 3. training ---------------------------------------------------------
@@ -303,6 +309,9 @@ def main(argv=None):
     p.add_argument("--run-name", default="runs",
                    help="training run subdirectory under --root (use a "
                         "fresh name to retrain instead of reusing exports)")
+    p.add_argument("--no-collect", action="store_true",
+                   help="skip the collector stages (train/eval on the "
+                        "prefix a supervised collection run produced)")
     args = p.parse_args(argv)
     # Long unattended runs on the tunneled chip: if a device call wedges,
     # dump all-thread tracebacks every 10 min so the hang site is in the log.
@@ -323,6 +332,7 @@ def main(argv=None):
         out_json=args.out,
         skip_baked=args.skip_baked,
         run_name=args.run_name,
+        collect=not args.no_collect,
     )
 
 
