@@ -120,17 +120,19 @@ def gather_descriptor(
         ) * scale
         pos = world_pos[:, None, :] + off
         u = pos / params.bbox_size
-        if params.density_mip_bricks and static.mip_shapes:
-            # Brick-3 mip tables (round 5): 64-byte aligned rows from
-            # tables 3x smaller than the packed corners — bit-identical
-            # values, measurably faster rows on the featurizer's dominant
-            # gather traffic (PERF_r05.json).
-            density = grid_ops.sample_mip_bricks(
-                params.density_mip_bricks, static.mip_shapes, u,
-                max(mip, 0.0),
-            )
-        else:
-            density = grid_ops.sample_mip(params.density_mips, u, max(mip, 0.0))
+        # NOTE (round 5, negative result — measured, tools/perf_decompose
+        # --neural): brick-3 mip tables for the featurizer (64 B aligned
+        # rows, 3x smaller tables — the march's winning layout) are 15x
+        # SLOWER here: the fetched 64-wide lattice must be reduced to the
+        # sample's 8 corners per sample, and both reduction forms lose —
+        # the one-hot/einsum extraction burns VPU + blows the transient to
+        # ~1 GB/level at the render tile (OOM until chunked, 4.3 s vs
+        # 0.29 s chunked), and per-lane dynamic indexing lowers to another
+        # gather.  The march wins with bricks because SUBSTEPS reuse one
+        # fetched row; descriptor samples are isolated points, so the
+        # packed-corner row IS the right fetch.  Helpers remain in
+        # ops.grid (sample_mip_bricks) with the bitwise-equality test.
+        density = grid_ops.sample_mip(params.density_mips, u, max(mip, 0.0))
         # Fade to zero outside the box over one mip voxel.
         t = jnp.clip(distance_to_box(pos, params.bbox_size, mip_voxel) / mip_voxel, 0.0, 1.0)
         layers.append(density * (1.0 - t))

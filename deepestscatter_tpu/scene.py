@@ -43,14 +43,13 @@ class SceneParams(NamedTuple):
     sky_intensity: jnp.ndarray  # [3]
     ground_intensity: jnp.ndarray  # [3]
     phase: PhaseTable
-    #: Brick-3 mip tables for the descriptor featurizer (round 5): one
-    #: [NB, 64] ``pack_bricks_single`` table per mip level — 64-byte
-    #: aligned rows from tables 3x smaller than the 8-corner packing,
-    #: the two measured levers on the gather-bound descriptor
-    #: (PERF_r05.json: the 10-layer descriptor is the dominant term of a
-    #: neural frame).  Values are bit-identical to the packed-corner
-    #: path; empty tuple = sample from ``density_mips`` (hand-built
-    #: params, e.g. render/diff.py).
+    #: Brick-3 mip tables (ops.grid.pack_bricks_single) — NOT built by
+    #: default: measured 15x SLOWER than the packed corners for the
+    #: descriptor featurizer (isolated samples must reduce the 64-wide
+    #: fetched lattice to 8 corners per sample — the negative-result note
+    #: in ops.descriptor.gather_descriptor).  The field remains for
+    #: callers that want the layout (it wins when substeps REUSE a row,
+    #: as the march does).
     density_mip_bricks: Tuple[jnp.ndarray, ...] = ()
 
 
@@ -351,18 +350,8 @@ def build_scene(
         # of grid voxels, so quantize-then-pack == pack-then-quantize).
         return grid_ops.pack_corners(quantize(m))
 
-    # Brick-3 mip tables for the descriptor featurizer: 64-byte aligned
-    # rows from tables 3x smaller than the packed corners — the measured
-    # gather-rate levers (SceneParams.density_mip_bricks notes).  Tiny top
-    # levels stay on the packed path (a 1^3 grid has no bricks to pack).
-    mip_bricks = tuple(
-        grid_ops.pack_bricks_single(quantize(m), _DESCRIPTOR_BRICK)
-        for m in mips
-    )
-
     params = SceneParams(
         density_mips=tuple(tex(m) for m in mips),
-        density_mip_bricks=mip_bricks,
         inscatter=tex(inscatter),
         march_rows=make_march_rows(
             jnp.asarray(mips[0], jnp.float32),

@@ -159,25 +159,25 @@ class TestBakedRenderer:
         assert np.all(np.isfinite(np.asarray(frame)))
 
 
-def test_descriptor_brick_mips_bitwise(tiny_scene):
-    """The brick-3 descriptor mip tables (round 5) must reproduce the
-    packed-corner mip path bit-for-bit — same quantized values, same frac
-    math (ops.grid.brick_cell == packed_cell), same trilinear result
-    (trilinear_from_brick == the cell-row lerp)."""
+def test_brick_mip_sampling_bitwise(tiny_scene):
+    """ops.grid.sample_mip_bricks must reproduce the packed-corner
+    sample_mip bit-for-bit (same quantized values, shared frac math, the
+    corners extracted from the fetched lattice feed the identical 8-corner
+    lerp).  The layout is NOT used by the descriptor — measured 15x slower
+    there (negative result recorded in gather_descriptor) — but the
+    equality contract keeps the helper honest for row-reusing callers."""
     import jax.numpy as jnp
     import numpy as np
 
-    from deepestscatter_tpu.ops import descriptor as desc_ops
+    from deepestscatter_tpu.ops import grid as grid_ops
 
     cfg, params, static = tiny_scene
+    tables = tuple(
+        grid_ops.pack_bricks_single(m[..., 0], 3) for m in params.density_mips
+    )
     rng = np.random.default_rng(8)
-    pos = jnp.asarray(
-        rng.random((64, 3)).astype(np.float32)
-    ) * params.bbox_size
-    d = rng.normal(size=(64, 3))
-    d = jnp.asarray((d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32))
-    assert params.density_mip_bricks, "build_scene must emit brick mip tables"
-    a = desc_ops.gather_descriptor(params, static, pos, d, n_layers=5)
-    legacy = params._replace(density_mip_bricks=())
-    b = desc_ops.gather_descriptor(legacy, static, pos, d, n_layers=5)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    u = jnp.asarray(rng.random((512, 3)).astype(np.float32))
+    for lod in (0.0, 0.4, 1.0, 1.7):
+        a = grid_ops.sample_mip_bricks(tables, static.mip_shapes, u, lod)
+        b = grid_ops.sample_mip(params.density_mips, u, lod)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

