@@ -154,6 +154,36 @@ def alpha_canonical(params: SceneParams, directions: jnp.ndarray) -> jnp.ndarray
     return desc_ops.alpha_angle(params.light_dir, directions, probe_dir)
 
 
+def shade_baked(
+    params: SceneParams,
+    static: SceneStatic,
+    model: ProbeRendererModel,
+    variables: Any,
+    probes: jnp.ndarray,
+    pos: jnp.ndarray,
+    dirs: jnp.ndarray,
+) -> jnp.ndarray:
+    """Probe interpolation + ω/α + 3-layer realtime descriptor +
+    ProbeRendererModel forward at shading points ``pos`` viewed along
+    ``dirs`` → predicted radiance [N].  Pure per-row math: safe on a
+    scatter-compacted subset (lightProbeMaterial.cu:26-87)."""
+    latent = interpolate_probes(probes, static, pos)  # [N, 200]
+    omega = desc_ops.omega_angle(params.light_dir, dirs)
+    alpha = alpha_canonical(params, dirs)
+    probe_in = jnp.concatenate(
+        [latent, omega[:, None], alpha[:, None]], axis=-1
+    )  # [N, 202]
+    layers = desc_ops.gather_descriptor(
+        params,
+        static,
+        pos,
+        dirs,
+        n_layers=desc_ops.BAKED_REALTIME_LAYERS,
+    )
+    realtime = desc_ops.with_angle(layers, omega)  # [N, 3, 226]
+    return model.apply(variables, probe_in, realtime)[:, 0]
+
+
 def render_baked(
     params: SceneParams,
     static: SceneStatic,
@@ -177,21 +207,9 @@ def render_baked(
     cs = neural.conditional_scatter(
         params, static, entry, directions, hit, seed, ray_ids
     )
-    latent = interpolate_probes(probes, static, cs.scatter_pos)  # [N, 200]
-    omega = desc_ops.omega_angle(params.light_dir, directions)
-    alpha = alpha_canonical(params, directions)
-    probe_in = jnp.concatenate(
-        [latent, omega[:, None], alpha[:, None]], axis=-1
-    )  # [N, 202]
-    layers = desc_ops.gather_descriptor(
-        params,
-        static,
-        cs.scatter_pos,
-        directions,
-        n_layers=desc_ops.BAKED_REALTIME_LAYERS,
+    predicted = shade_baked(
+        params, static, model, variables, probes, cs.scatter_pos, directions
     )
-    realtime = desc_ops.with_angle(layers, omega)  # [N, 3, 226]
-    predicted = model.apply(variables, probe_in, realtime)[:, 0]
     predicted = jnp.where(cs.has_scattered, predicted, 0.0)
     miss = camera_ops.miss_radiance(params, static, directions)
     return neural.composite(predicted, cs, miss, hit)
@@ -218,11 +236,15 @@ class BakedRenderer:
             params, static, probe_model, probe_variables, self.lattice,
             quantize=quantize_probes,
         )
-        self._render = jax.jit(
-            render_baked, static_argnames=("static", "model")
+        self._camera = jax.jit(
+            neural.camera_pass, static_argnames=("static",)
+        )
+        self._shade = jax.jit(
+            shade_baked, static_argnames=("static", "model")
         )
 
-    #: Pixels per compiled launch (bounds descriptor-gather transients).
+    #: Shade pixels per compiled launch (bounds the 3-layer descriptor
+    #: gather transient; the camera marches run whole-frame).
     TILE = 32768
 
     def render_frame(
@@ -235,14 +257,18 @@ class BakedRenderer:
         seed: int = 0,
     ) -> jnp.ndarray:
         origins, directions = camera_ops.generate_rays(basis, width, height)
-
-        def one(o, d, ids, s):
-            return self._render(
-                params, static, self.renderer_model, self.renderer_variables,
-                self.probes, o, d, s, ids,
-            )
-
-        out = neural.render_tiled(
-            one, origins, directions, jnp.uint32(seed), self.TILE
+        ray_ids = jnp.arange(origins.shape[0], dtype=jnp.uint32)
+        cs, hit, miss = self._camera(
+            params, static, origins, directions, jnp.uint32(seed), ray_ids
         )
+        predicted = neural.shade_compacted(
+            lambda p, d: self._shade(
+                params, static, self.renderer_model, self.renderer_variables,
+                self.probes, p, d,
+            ),
+            cs,
+            directions,
+            self.TILE,
+        )
+        out = neural.composite(predicted, cs, miss, hit)
         return out.reshape(height, width, 3)

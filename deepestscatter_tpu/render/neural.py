@@ -132,6 +132,85 @@ def disney_network_inputs(
     return desc_ops.with_angle(layers, omega)
 
 
+def camera_pass(
+    params: SceneParams,
+    static: SceneStatic,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    seed: jnp.ndarray,
+    ray_ids: jnp.ndarray,
+):
+    """Whole-frame neural camera: box test, the two pipelined conditional-
+    scatter marches, NEE direct light, and miss shading — everything the
+    shade stage does NOT need per-pixel-count knowledge for.  Returns
+    ``(cs, hit, miss)``."""
+    hit, t_hit = camera_ops.intersect_box(
+        origins, directions, static, params.bbox_size
+    )
+    entry = origins + directions * t_hit[:, None] + 0.5 * params.bbox_size
+    cs = conditional_scatter(
+        params, static, entry, directions, hit, seed, ray_ids
+    )
+    miss = camera_ops.miss_radiance(params, static, directions)
+    return cs, hit, miss
+
+
+def shade_disney(
+    params: SceneParams,
+    static: SceneStatic,
+    model: DisneyModel,
+    variables: Any,
+    pos: jnp.ndarray,
+    dirs: jnp.ndarray,
+) -> jnp.ndarray:
+    """Descriptor + RPNN forward for shading points ``pos`` viewed along
+    ``dirs`` → predicted radiance [N].  Pure per-row math: safe to run on a
+    scatter-compacted subset of a frame."""
+    layers = desc_ops.gather_descriptor(
+        params, static, pos, dirs, n_layers=desc_ops.DISNEY_LAYERS
+    )
+    omega = desc_ops.omega_angle(params.light_dir, dirs)
+    inputs = desc_ops.with_angle(layers, omega)
+    return model.apply(variables, inputs)[:, 0]
+
+
+def shade_compacted(
+    shade_one: Any,
+    cs: ConditionalScatter,
+    directions: jnp.ndarray,
+    tile: int,
+) -> jnp.ndarray:
+    """Run the shade stage only where the camera actually scattered.
+
+    The reference does a host-side "did anything scatter" early-out per
+    tile (DisneyRenderer.cpp:84-94); this is that check promoted to a
+    compaction: fetch the scatter COUNT (one scalar — the only host sync
+    of the frame), gather the scattered rays into ceil(count/tile) dense
+    tiles of ONE compiled shape, shade those, and scatter the predictions
+    back (out-of-range pad indices drop).  A typical frame is mostly
+    sky/edge pixels, so the descriptor gather + MLP — the measured
+    dominant terms of the neural frame (PERF_r05.json
+    neural_per_component) — run on a fraction of the pixel buffer.
+    Per-pixel values are identical to shading the full buffer: every
+    shade op is row-independent.
+    """
+    n = directions.shape[0]
+    count = int(jnp.count_nonzero(cs.has_scattered))
+    if count == 0:
+        return jnp.zeros((n,), jnp.float32)
+    k = -(-count // tile) * tile
+    idx = jnp.nonzero(cs.has_scattered, size=k, fill_value=n)[0]
+    safe = jnp.minimum(idx, n - 1)
+    pos = jnp.take(cs.scatter_pos, safe, axis=0)
+    dirs = jnp.take(directions, safe, axis=0)
+    preds = [
+        shade_one(pos[s : s + tile], dirs[s : s + tile])
+        for s in range(0, k, tile)
+    ]
+    pred = preds[0] if len(preds) == 1 else jnp.concatenate(preds)
+    return jnp.zeros((n,), jnp.float32).at[idx].set(pred, mode="drop")
+
+
 def render_disney(
     params: SceneParams,
     static: SceneStatic,
@@ -156,8 +235,9 @@ def render_disney(
     )
     entry = origins + directions * t_hit[:, None] + 0.5 * params.bbox_size
     cs = conditional_scatter(params, static, entry, directions, hit, seed, ray_ids)
-    inputs = disney_network_inputs(params, static, cs, directions)
-    predicted = model.apply(variables, inputs)[:, 0]
+    predicted = shade_disney(
+        params, static, model, variables, cs.scatter_pos, directions
+    )
     # The RPNN predicts radiance given unit-scaled sun radiance 1e6
     # (DisneyModel.py:16-21): no rescale — intensity is baked into labels.
     predicted = jnp.where(cs.has_scattered, predicted, 0.0)
@@ -200,16 +280,24 @@ def render_tiled(
 
 class DisneyRenderer:
     """Frame-level convenience wrapper (the reference's DisneyRenderer
-    strategy object): holds the model variables and renders full frames."""
+    strategy object): holds the model variables and renders full frames.
 
-    #: Pixels per compiled launch (~16k x 225 x 8 rows ≈ 1.8 GB transient).
+    Round-5 frame schedule: ONE whole-frame camera launch (the pipelined
+    marches run all pixels in one megabatch — the raw gather rate keeps
+    rising past 131k lanes, PERF_r05.json), then the descriptor + RPNN
+    shade only the scatter-compacted pixels in fixed ``TILE`` chunks
+    (``shade_compacted``)."""
+
+    #: Shade pixels per compiled launch (~16k x 225 x 8 rows ≈ 1.8 GB
+    #: descriptor-gather transient — the reason the shade stage tiles).
     TILE = 16384
 
     def __init__(self, model: DisneyModel, variables: Any):
         self.model = model
         self.variables = variables
-        self._render = jax.jit(
-            render_disney, static_argnames=("static", "model")
+        self._camera = jax.jit(camera_pass, static_argnames=("static",))
+        self._shade = jax.jit(
+            shade_disney, static_argnames=("static", "model")
         )
 
     def render_frame(
@@ -222,13 +310,17 @@ class DisneyRenderer:
         seed: int = 0,
     ) -> jnp.ndarray:
         origins, directions = camera_ops.generate_rays(basis, width, height)
-
-        def one(o, d, ids, s):
-            return self._render(
-                params, static, self.model, self.variables, o, d, s, ids
-            )
-
-        out = render_tiled(
-            one, origins, directions, jnp.uint32(seed), self.TILE
+        ray_ids = jnp.arange(origins.shape[0], dtype=jnp.uint32)
+        cs, hit, miss = self._camera(
+            params, static, origins, directions, jnp.uint32(seed), ray_ids
         )
+        predicted = shade_compacted(
+            lambda p, d: self._shade(
+                params, static, self.model, self.variables, p, d
+            ),
+            cs,
+            directions,
+            self.TILE,
+        )
+        out = composite(predicted, cs, miss, hit)
         return out.reshape(height, width, 3)

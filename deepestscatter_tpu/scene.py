@@ -191,7 +191,9 @@ def make_march_rows(
     else:
         rows = grid_ops.pack_corner_pair(density, inscatter)
     if march_dtype == "uint8":
-        return jnp.round(rows * 255.0).astype(jnp.uint8)
+        # Saturate: a caller-supplied density/in-scatter outside [0,1]
+        # must clip, not wrap through the uint8 cast.
+        return jnp.round(jnp.clip(rows, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     if march_dtype != "float32":
         raise ValueError(f"march_dtype must be float32|uint8, got {march_dtype}")
     return rows

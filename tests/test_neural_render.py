@@ -108,6 +108,89 @@ class TestDisneyRenderer:
         assert np.all(scattered[t < 0.999])
 
 
+class TestCompactedFrames:
+    """The scatter-compacted frame schedule (camera_pass + shade_compacted)
+    must reproduce the direct megabatch renders: compaction only reorders
+    row-independent shade work (DisneyRenderer.cpp:84-94 is the reference's
+    own host scatter check)."""
+
+    def test_disney_frame_matches_megabatch(self, tiny_scene):
+        cfg, params, static = tiny_scene
+        model = DisneyModel()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 226)))
+        origins, directions = _rays(cfg)
+        direct = neural.render_disney(
+            params, static, model, variables, origins, directions, seed=3
+        )
+        renderer = neural.DisneyRenderer(model, variables)
+        renderer.TILE = 64  # force multiple shade tiles + a padded tail
+        basis = camera_ops.camera_basis(cfg.camera)
+        frame = renderer.render_frame(
+            params, static, cfg.camera.width, cfg.camera.height, basis, seed=3
+        )
+        np.testing.assert_allclose(
+            np.asarray(frame).reshape(-1, 3),
+            np.asarray(direct),
+            rtol=2e-5,
+            atol=1e-6,
+        )
+
+    def test_baked_frame_matches_megabatch(self, tiny_scene):
+        cfg, params, static = tiny_scene
+        probe_model = LightProbeModel()
+        probe_vars = probe_model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 9, 225))
+        )
+        rend_model = ProbeRendererModel()
+        rend_vars = rend_model.init(
+            jax.random.PRNGKey(2), jnp.zeros((1, 202)), jnp.zeros((1, 3, 226))
+        )
+        renderer = baked_mod.BakedRenderer(
+            params, static, probe_model, probe_vars, rend_model, rend_vars
+        )
+        renderer.TILE = 64
+        origins, directions = _rays(cfg)
+        direct = baked_mod.render_baked(
+            params, static, rend_model, rend_vars, renderer.probes,
+            origins, directions, seed=5,
+        )
+        basis = camera_ops.camera_basis(cfg.camera)
+        frame = renderer.render_frame(
+            params, static, cfg.camera.width, cfg.camera.height, basis, seed=5
+        )
+        np.testing.assert_allclose(
+            np.asarray(frame).reshape(-1, 3),
+            np.asarray(direct),
+            rtol=2e-5,
+            atol=1e-6,
+        )
+
+    def test_no_scatter_frame(self, tiny_scene):
+        """A frame whose rays all miss the cloud never launches a shade
+        tile and composites pure miss radiance."""
+        cfg, params, static = tiny_scene
+        model = DisneyModel()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 226)))
+        renderer = neural.DisneyRenderer(model, variables)
+        n = 32
+        origins = jnp.tile(jnp.asarray([[3.0, 5.0, 0.0]], jnp.float32), (n, 1))
+        directions = jnp.tile(
+            jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), (n, 1)
+        )
+        ids = jnp.arange(n, dtype=jnp.uint32)
+        cs, hit, miss = neural.camera_pass(
+            params, static, origins, directions, jnp.uint32(0), ids
+        )
+        assert not bool(jnp.any(cs.has_scattered))
+
+        def boom(p, d):  # pragma: no cover - must not be called
+            raise AssertionError("shade launched with zero scattered pixels")
+
+        predicted = neural.shade_compacted(boom, cs, directions, tile=16)
+        out = neural.composite(predicted, cs, miss, hit)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(miss))
+
+
 class TestBakedRenderer:
     def test_lattice_shape(self, tiny_scene):
         cfg, params, static = tiny_scene
