@@ -236,9 +236,7 @@ class BakedRenderer:
             params, static, probe_model, probe_variables, self.lattice,
             quantize=quantize_probes,
         )
-        self._camera = jax.jit(
-            neural.camera_pass, static_argnames=("static",)
-        )
+        self._camera = neural.CompactCamera()
         self._shade = jax.jit(
             shade_baked, static_argnames=("static", "model")
         )
@@ -258,7 +256,7 @@ class BakedRenderer:
     ) -> jnp.ndarray:
         origins, directions = camera_ops.generate_rays(basis, width, height)
         ray_ids = jnp.arange(origins.shape[0], dtype=jnp.uint32)
-        cs, hit, miss = self._camera(
+        cs, hit, miss = self._camera.run(
             params, static, origins, directions, jnp.uint32(seed), ray_ids
         )
         predicted = neural.shade_compacted(

@@ -174,6 +174,38 @@ def shade_disney(
     return model.apply(variables, inputs)[:, 0]
 
 
+def compact_apply(mask: jnp.ndarray, arrays, fn: Any, tile: int):
+    """Run ``fn`` only on the rows where ``mask`` holds.
+
+    Fetches the count (ONE host-synced scalar), gathers the masked rows of
+    every array in ``arrays`` into ceil(count/tile) dense tiles of a
+    single compiled shape, applies ``fn`` per tile, and concatenates.
+    Returns ``(idx, out)`` — scatter results back with
+    ``template.at[idx].set(values, mode="drop")`` (pad indices are ``n``,
+    out of range, and drop) — or ``(None, None)`` when the mask is empty.
+    ``fn`` may return an array or a tuple of arrays.
+    """
+    n = mask.shape[0]
+    count = int(jnp.count_nonzero(mask))
+    if count == 0:
+        return None, None
+    k = -(-count // tile) * tile
+    idx = jnp.nonzero(mask, size=k, fill_value=n)[0]
+    safe = jnp.minimum(idx, n - 1)
+    gathered = [jnp.take(a, safe, axis=0) for a in arrays]
+    outs = [
+        fn(*(g[s : s + tile] for g in gathered)) for s in range(0, k, tile)
+    ]
+    if isinstance(outs[0], tuple):
+        out = tuple(
+            o[0] if len(outs) == 1 else jnp.concatenate(o)
+            for o in zip(*outs)
+        )
+    else:
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return idx, out
+
+
 def shade_compacted(
     shade_one: Any,
     cs: ConditionalScatter,
@@ -184,31 +216,143 @@ def shade_compacted(
 
     The reference does a host-side "did anything scatter" early-out per
     tile (DisneyRenderer.cpp:84-94); this is that check promoted to a
-    compaction: fetch the scatter COUNT (one scalar — the only host sync
-    of the frame), gather the scattered rays into ceil(count/tile) dense
-    tiles of ONE compiled shape, shade those, and scatter the predictions
-    back (out-of-range pad indices drop).  A typical frame is mostly
-    sky/edge pixels, so the descriptor gather + MLP — the measured
-    dominant terms of the neural frame (PERF_r05.json
-    neural_per_component) — run on a fraction of the pixel buffer.
-    Per-pixel values are identical to shading the full buffer: every
-    shade op is row-independent.
+    compaction.  A typical frame is mostly sky/edge pixels, so the
+    descriptor gather + MLP — the measured dominant terms of the neural
+    frame (PERF_r05.json neural_per_component) — run on a fraction of the
+    pixel buffer.  Per-pixel values are identical to shading the full
+    buffer: every shade op is row-independent.
     """
     n = directions.shape[0]
-    count = int(jnp.count_nonzero(cs.has_scattered))
-    if count == 0:
+    idx, pred = compact_apply(
+        cs.has_scattered, (cs.scatter_pos, directions), shade_one, tile
+    )
+    if idx is None:
         return jnp.zeros((n,), jnp.float32)
-    k = -(-count // tile) * tile
-    idx = jnp.nonzero(cs.has_scattered, size=k, fill_value=n)[0]
-    safe = jnp.minimum(idx, n - 1)
-    pos = jnp.take(cs.scatter_pos, safe, axis=0)
-    dirs = jnp.take(directions, safe, axis=0)
-    preds = [
-        shade_one(pos[s : s + tile], dirs[s : s + tile])
-        for s in range(0, k, tile)
-    ]
-    pred = preds[0] if len(preds) == 1 else jnp.concatenate(preds)
     return jnp.zeros((n,), jnp.float32).at[idx].set(pred, mode="drop")
+
+
+def box_pass(
+    params: SceneParams,
+    static: SceneStatic,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+):
+    """Whole-frame geometry-only camera stage: box hit test, entry points,
+    miss radiance.  No marching — the marches run compacted."""
+    hit, t_hit = camera_ops.intersect_box(
+        origins, directions, static, params.bbox_size
+    )
+    entry = origins + directions * t_hit[:, None] + 0.5 * params.bbox_size
+    miss = camera_ops.miss_radiance(params, static, directions)
+    return hit, entry, miss
+
+
+def march_pass1(
+    params: SceneParams,
+    static: SceneStatic,
+    entry: jnp.ndarray,
+    dirs: jnp.ndarray,
+) -> jnp.ndarray:
+    """Total-transmittance march of a (compacted) ray batch
+    (getNextScatteringEvent with optical distance 0 — never scatters)."""
+    pstatic = dataclasses.replace(static, march_pipeline=True)
+    zero_od = jnp.zeros(entry.shape[:1], jnp.float32)
+    full = march_ops.next_scattering_event(
+        params, pstatic, zero_od, entry, dirs, stop_at_scatter=False
+    )
+    return full.transmittance
+
+
+def march_pass2(
+    params: SceneParams,
+    static: SceneStatic,
+    entry: jnp.ndarray,
+    dirs: jnp.ndarray,
+    seed: jnp.ndarray,
+    ray_ids: jnp.ndarray,
+    trans: jnp.ndarray,
+):
+    """Conditional scatter draw + NEE for a (compacted) ray batch: the
+    scatter point from ``od = 1 - u(1 - T)`` (disneyDescriptorMaterial.cu:
+    29-30, keyed by GLOBAL ray id so compaction cannot change draws) and
+    the direct radiance at it."""
+    pstatic = dataclasses.replace(static, march_pipeline=True)
+    u = rng_ops.hash_uniform(seed, ray_ids, jnp.int32(0))
+    od = 1.0 - u * (1.0 - trans)
+    scatter = march_ops.next_scattering_event(
+        params, pstatic, od, entry, dirs, stop_at_scatter=False
+    )
+    ok = scatter.has_scattered & is_in_box(
+        scatter.scatter_pos, params.bbox_size
+    )
+    direct = pathtracer.in_scattering(
+        params, static, scatter.scatter_pos, dirs, chopped=False
+    )
+    direct = jnp.where(ok[:, None], direct, 0.0)
+    return scatter.scatter_pos, ok, direct
+
+
+class CompactCamera:
+    """Host-coordinated compacted neural camera: march only rays that can
+    contribute.
+
+    Stage 1 (whole frame, geometry only): box test + miss shading.
+    Stage 2 (compacted to box HITS): the total-transmittance march.
+    Stage 3 (compacted to ``hit & T < 1``): the conditional-scatter march
+    + NEE.  The od draw ``1 - u(1 - T)`` lies in ``(T, 1]``, so a ray
+    scatters iff ``T < 1`` — the stage-3 mask is exact, not a heuristic.
+
+    Produces the same ``(cs, hit, miss)`` as ``camera_pass`` (per-ray
+    march math is row-independent and RNG keys on global ray ids), but
+    the lockstep march buffers hold only contributing rays — sky pixels
+    no longer occupy march lanes (lockstep cost scales with the BUFFER,
+    docs/PERFORMANCE.md)."""
+
+    #: Rays per compiled march launch (the measured optimal lane band,
+    #: docs/PERFORMANCE.md).
+    MARCH_TILE = 32768
+
+    def __init__(self):
+        self._box = jax.jit(box_pass, static_argnames=("static",))
+        self._p1 = jax.jit(march_pass1, static_argnames=("static",))
+        self._p2 = jax.jit(march_pass2, static_argnames=("static",))
+
+    def run(
+        self,
+        params: SceneParams,
+        static: SceneStatic,
+        origins: jnp.ndarray,
+        directions: jnp.ndarray,
+        seed: jnp.ndarray,
+        ray_ids: jnp.ndarray,
+    ):
+        hit, entry, miss = self._box(params, static, origins, directions)
+        n = origins.shape[0]
+        trans = jnp.ones((n,), jnp.float32)
+        pos = jnp.zeros((n, 3), jnp.float32)
+        scat = jnp.zeros((n,), jnp.bool_)
+        direct = jnp.zeros((n, 3), jnp.float32)
+        idx, t_c = compact_apply(
+            hit,
+            (entry, directions),
+            lambda e, d: self._p1(params, static, e, d),
+            self.MARCH_TILE,
+        )
+        if idx is not None:
+            trans = trans.at[idx].set(t_c, mode="drop")
+            idx2, out2 = compact_apply(
+                hit & (trans < 1.0),
+                (entry, directions, ray_ids, trans),
+                lambda e, d, i, t: self._p2(params, static, e, d, seed, i, t),
+                self.MARCH_TILE,
+            )
+            if idx2 is not None:
+                p_c, ok_c, d_c = out2
+                pos = pos.at[idx2].set(p_c, mode="drop")
+                scat = scat.at[idx2].set(ok_c, mode="drop")
+                direct = direct.at[idx2].set(d_c, mode="drop")
+        cs = ConditionalScatter(trans, pos, scat, direct)
+        return cs, hit, miss
 
 
 def render_disney(
@@ -282,11 +426,10 @@ class DisneyRenderer:
     """Frame-level convenience wrapper (the reference's DisneyRenderer
     strategy object): holds the model variables and renders full frames.
 
-    Round-5 frame schedule: ONE whole-frame camera launch (the pipelined
-    marches run all pixels in one megabatch — the raw gather rate keeps
-    rising past 131k lanes, PERF_r05.json), then the descriptor + RPNN
-    shade only the scatter-compacted pixels in fixed ``TILE`` chunks
-    (``shade_compacted``)."""
+    Round-5 frame schedule: a geometry-only whole-frame box pass, the two
+    camera marches compacted to contributing rays (``CompactCamera``),
+    then the descriptor + RPNN shade only the scatter-compacted pixels in
+    fixed ``TILE`` chunks (``shade_compacted``)."""
 
     #: Shade pixels per compiled launch (~16k x 225 x 8 rows ≈ 1.8 GB
     #: descriptor-gather transient — the reason the shade stage tiles).
@@ -295,7 +438,7 @@ class DisneyRenderer:
     def __init__(self, model: DisneyModel, variables: Any):
         self.model = model
         self.variables = variables
-        self._camera = jax.jit(camera_pass, static_argnames=("static",))
+        self._camera = CompactCamera()
         self._shade = jax.jit(
             shade_disney, static_argnames=("static", "model")
         )
@@ -311,7 +454,7 @@ class DisneyRenderer:
     ) -> jnp.ndarray:
         origins, directions = camera_ops.generate_rays(basis, width, height)
         ray_ids = jnp.arange(origins.shape[0], dtype=jnp.uint32)
-        cs, hit, miss = self._camera(
+        cs, hit, miss = self._camera.run(
             params, static, origins, directions, jnp.uint32(seed), ray_ids
         )
         predicted = shade_compacted(

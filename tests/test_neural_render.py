@@ -165,6 +165,51 @@ class TestCompactedFrames:
             atol=1e-6,
         )
 
+    def test_compact_camera_matches_camera_pass(self, tiny_scene):
+        """CompactCamera (box pass + hit-compacted pass-1 march +
+        T<1-compacted pass-2 march) must reproduce the whole-frame
+        camera_pass: RNG keys on global ray ids and the stage-3 mask
+        (T < 1) is exactly the scatter condition of od = 1 - u(1 - T)."""
+        cfg, params, static = tiny_scene
+        origins, directions = _rays(cfg)
+        ids = jnp.arange(origins.shape[0], dtype=jnp.uint32)
+        ref_cs, ref_hit, ref_miss = neural.camera_pass(
+            params, static, origins, directions, jnp.uint32(7), ids
+        )
+        cam = neural.CompactCamera()
+        cam.MARCH_TILE = 64  # force several march tiles + padded tails
+        cs, hit, miss = cam.run(
+            params, static, origins, directions, jnp.uint32(7), ids
+        )
+        np.testing.assert_array_equal(np.asarray(hit), np.asarray(ref_hit))
+        np.testing.assert_array_equal(
+            np.asarray(cs.has_scattered), np.asarray(ref_cs.has_scattered)
+        )
+        # Tolerance: XLA fuses the march arithmetic differently at the
+        # two batch shapes (fma/reassociation) — ~1e-5 relative noise.
+        np.testing.assert_allclose(
+            np.asarray(cs.transmittance),
+            np.asarray(ref_cs.transmittance),
+            rtol=3e-5,
+            atol=3e-6,
+        )
+        scat = np.asarray(cs.has_scattered)
+        np.testing.assert_allclose(
+            np.asarray(cs.scatter_pos)[scat],
+            np.asarray(ref_cs.scatter_pos)[scat],
+            rtol=1e-5,
+            atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cs.direct)[scat],
+            np.asarray(ref_cs.direct)[scat],
+            rtol=1e-5,
+            atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(miss), np.asarray(ref_miss), rtol=1e-6
+        )
+
     def test_no_scatter_frame(self, tiny_scene):
         """A frame whose rays all miss the cloud never launches a shade
         tile and composites pure miss radiance."""
