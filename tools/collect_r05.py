@@ -99,11 +99,12 @@ def main() -> None:
     )
     radiance_cfg = PointRadianceConfig(black_min_experiments=20_000)
 
-    # Validation first (the eval's held-out scene renders need it), then
-    # train; per scene, all four stages.
+    # Train first (the eval TRAINS on the train-store prefix; the held-out
+    # scene's renders need only its SceneSetup record, appended above), so
+    # a short collection window still yields usable training labels.
     for store_name, store, target in (
-        ("val", triplet.validation, VAL_TARGET),
         ("train", triplet.train, TRAIN_TARGET),
+        ("val", triplet.validation, VAL_TARGET),
     ):
         for s in range(target):
             t0 = time.time()
