@@ -389,39 +389,6 @@ def render_disney(
     return composite(predicted, cs, miss, hit)
 
 
-def render_tiled(
-    render_one: Any,
-    origins: jnp.ndarray,
-    directions: jnp.ndarray,
-    seed: jnp.ndarray,
-    tile: int,
-) -> jnp.ndarray:
-    """Render a ray batch in fixed-size tiles (one compiled shape).
-
-    The reference tiles for its OptiX-buffer/libtorch round trips
-    (DisneyRenderer.cpp:10, BakedRenderer.cpp:11); here tiling bounds the
-    descriptor gather's transient memory — the [tile*225, 8] packed-row
-    gather output is lane-padded 16x on TPU, so a full 512x256 frame in one
-    launch would need >14 GB of HBM scratch.
-    """
-    n = origins.shape[0]
-    outs = []
-    for start in range(0, n, tile):
-        o = origins[start : start + tile]
-        d = directions[start : start + tile]
-        ids = jnp.arange(start, start + tile, dtype=jnp.uint32)
-        if o.shape[0] < tile:
-            pad = tile - o.shape[0]
-            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
-            d = jnp.concatenate(
-                [d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], d.dtype), (pad, 3))]
-            )
-            outs.append(render_one(o, d, ids, seed)[: tile - pad])
-        else:
-            outs.append(render_one(o, d, ids, seed))
-    return jnp.concatenate(outs, axis=0)
-
-
 class DisneyRenderer:
     """Frame-level convenience wrapper (the reference's DisneyRenderer
     strategy object): holds the model variables and renders full frames.

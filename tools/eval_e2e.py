@@ -273,8 +273,18 @@ def run_eval(
             "light": [float(x) for x in setup["light_direction"]],
         },
         "dataset": {
-            "train_scenes": len(train_clouds) * scenes_per_cloud,
-            "val_scenes": val_scenes,
+            # ACTUAL collected prefix (min over the tables training reads),
+            # not the seeded target — a --no-collect eval runs on whatever
+            # a separately supervised collection produced.
+            "train_scenes_seeded": triplet.train.count("SceneSetup"),
+            "train_scenes": min(
+                triplet.train.count(t)
+                for t in ("ScatterSample", "Result", "DisneyDescriptor")
+            ) // batch_size,
+            "train_labels": min(
+                triplet.train.count(t) for t in ("ScatterSample", "Result")
+            ),
+            "val_scenes": triplet.validation.count("SceneSetup"),
             "samples_per_scene": batch_size,
         },
         "label_generation": {

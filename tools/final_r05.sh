@@ -11,9 +11,9 @@ LOG=${1:-/tmp/final_r05.log}
 cd "$(dirname "$0")/.."
 {
     echo "[final] $(date) step 1: PT render 512x256"
-    timeout 5400 python -u tools/render_pt_r05.py
+    PT_BUDGET_S=${PT_BUDGET_S:-900} timeout 1500 python -u tools/render_pt_r05.py
     echo "[final] $(date) step 2: eval (train + renders + report)"
-    timeout 7200 python -u tools/eval_e2e.py --root runs/eval_e2e \
+    timeout 2400 python -u tools/eval_e2e.py --root runs/eval_e2e \
         --out EVAL_r05.json --width 512 --height 256 \
         --epochs-nn 200 --epochs-bnn 100 --run-name runs_r05 --no-collect
     echo "[final] $(date) step 3: bench"
