@@ -198,6 +198,7 @@ def _measure_neural(res: int = 256, width: int = 512, height: int = 256) -> dict
     import time as _time
 
     import jax
+    import jax.numpy as jnp
 
     from deepestscatter_tpu import scene as scene_mod, tasks
     from deepestscatter_tpu.config import (
@@ -224,21 +225,26 @@ def _measure_neural(res: int = 256, width: int = 512, height: int = 256) -> dict
         r = tasks._load_neural_renderer(kind, params, static, ":init:")
         init_s = _time.time() - t0  # includes the BNN probe-lattice bake
         img = r.render_frame(params, static, width, height, basis, seed=1)
-        jax.block_until_ready(img)
+        float(jnp.sum(img))  # value fetch: block_until_ready lies (docs)
         t0 = _time.time()
         n = 0
         while _time.time() - t0 < _MIN_SECONDS:
             img = r.render_frame(
                 params, static, width, height, basis, seed=2 + n
             )
-            jax.block_until_ready(img)
+            float(jnp.sum(img))
             n += 1
         ms = (_time.time() - t0) / n * 1e3
+        n_rays, n_hit, n_scat = r._camera.last_counts
         out[kind] = {
             "ms_per_frame": round(ms, 1),
             "fps": round(1e3 / ms, 2),
             "init_s": round(init_s, 1),
             "frames": n,
+            # Compaction ratios of the measured frame: marches run on the
+            # hit set, descriptor+MLP on the scattered set.
+            "frac_hit": round(n_hit / max(n_rays, 1), 3),
+            "frac_scattered": round(n_scat / max(n_rays, 1), 3),
         }
     return out
 

@@ -180,15 +180,15 @@ def compact_apply(mask: jnp.ndarray, arrays, fn: Any, tile: int):
     Fetches the count (ONE host-synced scalar), gathers the masked rows of
     every array in ``arrays`` into ceil(count/tile) dense tiles of a
     single compiled shape, applies ``fn`` per tile, and concatenates.
-    Returns ``(idx, out)`` — scatter results back with
+    Returns ``(idx, out, count)`` — scatter results back with
     ``template.at[idx].set(values, mode="drop")`` (pad indices are ``n``,
-    out of range, and drop) — or ``(None, None)`` when the mask is empty.
-    ``fn`` may return an array or a tuple of arrays.
+    out of range, and drop) — or ``(None, None, 0)`` when the mask is
+    empty.  ``fn`` may return an array or a tuple of arrays.
     """
     n = mask.shape[0]
     count = int(jnp.count_nonzero(mask))
     if count == 0:
-        return None, None
+        return None, None, 0
     k = -(-count // tile) * tile
     idx = jnp.nonzero(mask, size=k, fill_value=n)[0]
     safe = jnp.minimum(idx, n - 1)
@@ -203,7 +203,7 @@ def compact_apply(mask: jnp.ndarray, arrays, fn: Any, tile: int):
         )
     else:
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
-    return idx, out
+    return idx, out, count
 
 
 def shade_compacted(
@@ -223,7 +223,7 @@ def shade_compacted(
     buffer: every shade op is row-independent.
     """
     n = directions.shape[0]
-    idx, pred = compact_apply(
+    idx, pred, _ = compact_apply(
         cs.has_scattered, (cs.scatter_pos, directions), shade_one, tile
     )
     if idx is None:
@@ -316,6 +316,9 @@ class CompactCamera:
         self._box = jax.jit(box_pass, static_argnames=("static",))
         self._p1 = jax.jit(march_pass1, static_argnames=("static",))
         self._p2 = jax.jit(march_pass2, static_argnames=("static",))
+        #: (n_rays, box hits, scatterable T<1) of the last frame — the
+        #: compaction ratios that explain a frame's cost.
+        self.last_counts = (0, 0, 0)
 
     def run(
         self,
@@ -332,15 +335,16 @@ class CompactCamera:
         pos = jnp.zeros((n, 3), jnp.float32)
         scat = jnp.zeros((n,), jnp.bool_)
         direct = jnp.zeros((n, 3), jnp.float32)
-        idx, t_c = compact_apply(
+        idx, t_c, n_hit = compact_apply(
             hit,
             (entry, directions),
             lambda e, d: self._p1(params, static, e, d),
             self.MARCH_TILE,
         )
+        n_scat = 0
         if idx is not None:
             trans = trans.at[idx].set(t_c, mode="drop")
-            idx2, out2 = compact_apply(
+            idx2, out2, n_scat = compact_apply(
                 hit & (trans < 1.0),
                 (entry, directions, ray_ids, trans),
                 lambda e, d, i, t: self._p2(params, static, e, d, seed, i, t),
@@ -351,6 +355,7 @@ class CompactCamera:
                 pos = pos.at[idx2].set(p_c, mode="drop")
                 scat = scat.at[idx2].set(ok_c, mode="drop")
                 direct = direct.at[idx2].set(d_c, mode="drop")
+        self.last_counts = (n, n_hit, n_scat)
         cs = ConditionalScatter(trans, pos, scat, direct)
         return cs, hit, miss
 
