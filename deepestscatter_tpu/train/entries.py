@@ -40,6 +40,25 @@ def _val_batch_fn(dataset, batch_size: int, seed: int = 999):
     return val_batch
 
 
+def _val_store(triplet: DatasetTriplet, label_table: str, name: str):
+    """The validation store, with a LOUD fallback: when the validation
+    store holds no labels yet (a collection prefix that has only reached
+    train scenes — tools/collect_r05.py collects train first), validate on
+    a train slice instead.  The val_loss watermark then measures fit, not
+    generalization; the eval's real quality gate — render RMS on a
+    held-out SCENE whose cloud never appears in Train — is unaffected."""
+    store = triplet.validation
+    if min(store.count(label_table), store.count("Result")) == 0:
+        print(
+            f"[{name}] WARNING: validation store has no complete labels — "
+            "validating on a train slice (held-out-scene render RMS is the "
+            "generalization check)",
+            flush=True,
+        )
+        return triplet.train
+    return store
+
+
 def _train_batches_fn(dataset, batch_size: int, base_seed: int):
     def train_batches(epoch: int):
         for item, labels in dataset.batches(batch_size, seed=base_seed + epoch):
@@ -63,7 +82,8 @@ def train_disney(
     default for small runs and tests."""
     triplet = DatasetTriplet(dataset_root)
     train_ds = DisneyDataset(triplet.train)
-    val_ds = DisneyDataset(triplet.validation)
+    vstore = _val_store(triplet, "DisneyDescriptor", "DisneyModel")
+    val_ds = DisneyDataset(vstore)
     model = DisneyModel()
     variables = model.init(
         jax.random.PRNGKey(config.seed), jnp.zeros((1, 10, 226))
@@ -73,13 +93,15 @@ def train_disney(
         from .device_data import DeviceDisneyData
 
         dev = DeviceDisneyData(triplet.train)
-        val_dev = DeviceDisneyData(triplet.validation)
+        val_dev = DeviceDisneyData(vstore)
     t = trainer_mod.Trainer(
         name="DisneyModel",
         apply_fn=lambda p, b: model.apply(p, b["z_layers"]),
         init_params=variables,
         train_batches=_train_batches_fn(train_ds, config.batch_size, config.seed),
-        val_batch=_val_batch_fn(val_ds, config.val_batch_size),
+        val_batch=_val_batch_fn(
+            val_ds, max(1, min(config.val_batch_size, len(val_ds)))
+        ),
         config=config,
         mesh=mesh,
         device_data=dev,
@@ -101,7 +123,8 @@ def train_baked(
     of the two-stage model; exports the submodels separately."""
     triplet = DatasetTriplet(dataset_root)
     train_ds = BakedDataset(triplet.train)
-    val_ds = BakedDataset(triplet.validation)
+    vstore = _val_store(triplet, "BakedInterpolationSet", "BakedModel")
+    val_ds = BakedDataset(vstore)
     model = BakedModel()
     variables = model.init(
         jax.random.PRNGKey(config.seed),
@@ -143,13 +166,15 @@ def train_baked(
         from .device_data import DeviceBakedData
 
         dev = DeviceBakedData(triplet.train)
-        val_dev = DeviceBakedData(triplet.validation)
+        val_dev = DeviceBakedData(vstore)
     t = trainer_mod.Trainer(
         name="BakedModel",
         apply_fn=apply_fn,
         init_params=variables,
         train_batches=_train_batches_fn(train_ds, config.batch_size, config.seed),
-        val_batch=_val_batch_fn(val_ds, config.val_batch_size),
+        val_batch=_val_batch_fn(
+            val_ds, max(1, min(config.val_batch_size, len(val_ds)))
+        ),
         config=config,
         mesh=mesh,
         export_params=export_params,
